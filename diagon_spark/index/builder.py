@@ -1,0 +1,372 @@
+"""Index builder — Spark-first restatement of the reference write path.
+
+Reference lifecycle (SURVEY.md §3.2, index/DocumentsWriterPerThread.cpp:522-701):
+tokenize → in-memory FreqProx postings → flush a segment (sorted terms,
+block-encoded postings + norms + stored) → atomic commit. Here:
+
+* one **segment = one shuffle partition group**; DWPT assignment =
+  `pmod(hash(key), num_segments)`;
+* FreqProx accumulation = `posexplode` + one shuffle into
+  `(segment_id, bucket)` groups; term sort deferred to the encode UDF
+  (numpy lexsort) exactly like the reference defers sorting to flush
+  (index/FreqProxTermsWriter.h:32);
+* posting-block encode (delta+bitpack+varint) in an Arrow-batched
+  applyInPandas — see index/codec.py;
+* heavy-hitter terms are **chunked/salted**: a term's postings within a
+  segment split into rows of <= CHUNK_DOCS docs, so no single parquet row
+  or query-side group explodes on terms like "int"/"return" that occur in
+  >50% of docs;
+* atomic publish = staged write + manifest commit file (the parquet/
+  Iceberg-snapshot analogue of segments_N, index/IndexWriter.cpp:208-247);
+* **segment-granular resume**: a `lineage` table records per segment-batch
+  (fingerprint, status, n_docs, n_postings, wall_ms); on resume, completed
+  segments are skipped (north_rule checkpoint requirement).
+
+Index tables written under `out_dir`:
+  docs/       per-doc: segment_id, doc_id, key cols…, content_sha256,
+              doc_len, norm  (this *is* the stored-fields/.nvd analogue)
+  postings/   partitioned by bucket: term chunks w/ binary blocks + impacts
+  term_dict/  term → global df, cttf (the .tim/.tip analogue)
+  stats/      collection stats (maxDoc, sumTotalTermFreq, sumDocFreq)
+  lineage/    per-segment build lineage + metrics
+  _commits/   manifest JSONs; highest N = current commit point
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import zlib
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from diagon_spark.analysis.tokenizer import tokenize_series
+from diagon_spark.index.codec import encode_term_postings
+from diagon_spark.index.norms import encode_norm
+
+CHUNK_DOCS = 16384  # max docs per postings row (salting of heavy hitters)
+DOC_ID_SEGMENT_SHIFT = 40  # doc_id = segment_id << 40 | local_id
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Python-side bucket — must match the Spark-side expression below."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def _bucket_col(col, num_buckets: int):
+    return F.pmod(F.crc32(col.cast("string")), F.lit(num_buckets)).cast("int")
+
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("bucket", IntegerType()),
+    StructField("segment_id", IntegerType()),
+    StructField("chunk", IntegerType()),
+    StructField("df", IntegerType()),
+    StructField("ttf", LongType()),
+    StructField("doc_blocks", BinaryType()),
+    StructField("tf_blocks", BinaryType()),
+    StructField("norm_bytes", BinaryType()),
+    StructField("block_first", ArrayType(LongType())),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_max_tf", ArrayType(IntegerType())),
+    StructField("block_max_norm", ArrayType(IntegerType())),
+    StructField("block_doc_off", ArrayType(IntegerType())),
+    StructField("block_tf_off", ArrayType(IntegerType())),
+    StructField("pos_blocks", BinaryType()),
+    StructField("block_pos_off", ArrayType(IntegerType())),
+])
+
+
+@dataclass
+class IndexCatalog:
+    """Handle to a committed index (the DirectoryReader analogue)."""
+
+    root: str
+    num_buckets: int
+    num_segments: int
+    has_positions: bool
+    key_cols: list[str]
+
+    @property
+    def docs_path(self) -> str:
+        return f"{self.root}/docs"
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.root}/postings"
+
+    @property
+    def term_dict_path(self) -> str:
+        return f"{self.root}/term_dict"
+
+    @property
+    def stats_path(self) -> str:
+        return f"{self.root}/stats"
+
+    @property
+    def lineage_path(self) -> str:
+        return f"{self.root}/lineage"
+
+    @staticmethod
+    def load(root: str) -> "IndexCatalog":
+        commits = sorted(Path(root, "_commits").glob("commit_*.json"))
+        if not commits:
+            raise FileNotFoundError(f"no commit point under {root}/_commits")
+        meta = json.loads(commits[-1].read_text())
+        return IndexCatalog(root=root, **{k: meta[k] for k in
+                                          ("num_buckets", "num_segments",
+                                           "has_positions", "key_cols")})
+
+    def commit(self, extra: dict | None = None) -> None:
+        cdir = Path(self.root, "_commits")
+        cdir.mkdir(parents=True, exist_ok=True)
+        gen = len(list(cdir.glob("commit_*.json")))
+        meta = {
+            "num_buckets": self.num_buckets,
+            "num_segments": self.num_segments,
+            "has_positions": self.has_positions,
+            "key_cols": self.key_cols,
+            "ts": time.time(),
+            **(extra or {}),
+        }
+        tmp = cdir / f".commit_{gen}.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        tmp.rename(cdir / f"commit_{gen}.json")  # atomic publish (segments_N)
+
+
+def _encode_group_fn(has_positions: bool):
+    """applyInPandas over one (segment_id, bucket) group: numpy-sort the
+    (term, doc, pos) tuples, run-length group into per-term postings,
+    block-encode, chunking heavy hitters."""
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        segment_id, bucket = int(key[0]), int(key[1])
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        norms = pdf["norm"].to_numpy(dtype=np.int64)
+        poss = pdf["pos"].to_numpy(dtype=np.int64)
+
+        # sort by (term, doc, pos) — the deferred term sort of FreqProx flush
+        order = np.lexsort((poss, docs, terms))
+        terms, docs, norms, poss = terms[order], docs[order], norms[order], poss[order]
+
+        # group boundaries at (term, doc) change → tf per (term, doc)
+        new_td = np.empty(len(terms), dtype=bool)
+        new_td[0] = True
+        new_td[1:] = (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])
+        td_starts = np.flatnonzero(new_td)
+        td_ends = np.append(td_starts[1:], len(terms))
+        tfs = (td_ends - td_starts).astype(np.int64)
+        g_terms = terms[td_starts]
+        g_docs = docs[td_starts]
+        g_norms = norms[td_starts]
+
+        # term boundaries over the (term, doc) groups
+        new_t = np.empty(len(g_terms), dtype=bool)
+        new_t[0] = True
+        new_t[1:] = g_terms[1:] != g_terms[:-1]
+        t_starts = np.flatnonzero(new_t)
+        t_ends = np.append(t_starts[1:], len(g_terms))
+
+        out_rows = []
+        for ts, te in zip(t_starts, t_ends):
+            term = g_terms[ts]
+            t_docs = g_docs[ts:te]
+            t_tfs = tfs[ts:te]
+            t_norms = g_norms[ts:te]
+            if has_positions:
+                t_pos = [poss[td_starts[i]:td_ends[i]] for i in range(ts, te)]
+            # chunk heavy hitters (salting): <= CHUNK_DOCS docs per row
+            for ci, lo in enumerate(range(0, len(t_docs), CHUNK_DOCS)):
+                hi = min(lo + CHUNK_DOCS, len(t_docs))
+                enc = encode_term_postings(
+                    t_docs[lo:hi], t_tfs[lo:hi],
+                    t_norms[lo:hi].astype(np.uint8),
+                    t_pos[lo:hi] if has_positions else None)
+                out_rows.append({
+                    "term": term,
+                    "bucket": bucket,
+                    "segment_id": segment_id,
+                    "chunk": ci,
+                    "df": int(enc["df"]),
+                    "ttf": int(t_tfs[lo:hi].sum()),
+                    "doc_blocks": enc["doc_blocks"],
+                    "tf_blocks": enc["tf_blocks"],
+                    "norm_bytes": enc["norm_bytes"],
+                    "block_first": enc["block_first"].tolist(),
+                    "block_last": enc["block_last"].tolist(),
+                    "block_max_tf": enc["block_max_tf"].tolist(),
+                    "block_max_norm": enc["block_max_norm"].tolist(),
+                    "block_doc_off": enc["block_doc_off"].tolist(),
+                    "block_tf_off": enc["block_tf_off"].tolist(),
+                    "pos_blocks": enc["pos_blocks"] if has_positions else None,
+                    "block_pos_off": (enc["block_pos_off"].tolist()
+                                      if has_positions else None),
+                })
+        return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return encode
+
+
+def _tokenize_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    return tok
+
+
+def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
+                 content_col: str, num_segments: int) -> DataFrame:
+    """Assign deterministic doc ids + segments, tokenize, norms, sha256.
+
+    Deterministic doc_id (north_rule): with key_cols, docs are ordered by
+    sha256(key) inside their hash-assigned segment and numbered — identical
+    regardless of input partitioning (SegmentMerger docBase remap analogue,
+    index/SegmentMerger.cpp:45-63). With id_col, the given unique id is
+    used as-is and the segment derives from it.
+    """
+    tok = _tokenize_udf()
+    if id_col is not None:
+        base = df.withColumn("doc_id", F.col(id_col).cast("long"))
+        base = base.withColumn(
+            "segment_id", F.pmod(F.col("doc_id"), F.lit(num_segments)).cast("int"))
+    else:
+        key = F.concat_ws("\x00", *[F.col(c) for c in key_cols])
+        base = df.withColumn("_key_sha", F.sha2(key, 256))
+        base = base.withColumn(
+            "segment_id",
+            F.pmod(F.xxhash64(F.col("_key_sha")), F.lit(num_segments)).cast("int"))
+        w = Window.partitionBy("segment_id").orderBy("_key_sha")
+        base = base.withColumn(
+            "doc_id",
+            (F.col("segment_id").cast("long") * F.lit(1 << DOC_ID_SEGMENT_SHIFT)
+             + F.row_number().over(w) - 1))
+        base = base.drop("_key_sha")
+
+    base = base.withColumn("tokens", tok(F.col(content_col)))
+    base = base.withColumn("doc_len", F.size("tokens"))
+    base = base.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+    @F.pandas_udf(IntegerType())
+    def norm_udf(lengths: pd.Series) -> pd.Series:
+        return pd.Series(encode_norm(lengths.to_numpy()).astype(np.int32))
+
+    return base.withColumn("norm", norm_udf(F.col("doc_len")))
+
+
+def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
+                num_segments: int = 8, num_buckets: int = 16,
+                key_cols: list[str] | None = None, id_col: str | None = None,
+                content_col: str = "content", positions: bool = True,
+                segment_batches: int = 1, max_batches: int | None = None,
+                resume: bool = False) -> IndexCatalog:
+    """Build (or resume) the full index. Returns a committed IndexCatalog.
+
+    segment_batches > 1 splits the postings build into independent waves of
+    segments, each atomically appended + recorded in lineage — the
+    checkpoint/resume granularity. `max_batches` stops early (used by the
+    kill-mid-build test). `resume=True` skips segments already completed
+    per the lineage table.
+    """
+    from diagon_spark._ship import ensure_shipped
+    ensure_shipped(spark)
+    if key_cols is None and id_col is None:
+        key_cols = ["repo", "path", "commit"]
+    cat = IndexCatalog(root=out_dir, num_buckets=num_buckets,
+                       num_segments=num_segments, has_positions=positions,
+                       key_cols=key_cols or [])
+    root = Path(out_dir)
+    root.mkdir(parents=True, exist_ok=True)
+
+    docs = prepare_docs(df, key_cols, id_col, content_col, num_segments)
+    keep = (key_cols or []) + ([id_col] if id_col else [])
+    docs_cols = list(dict.fromkeys(
+        ["segment_id", "doc_id", *keep, "content_sha256", "doc_len", "norm"]))
+
+    done: set[int] = set()
+    if resume:
+        lin = Path(cat.lineage_path)
+        if lin.exists():
+            ldf = spark.read.parquet(str(lin))
+            done = {r.segment_id for r in
+                    ldf.filter(F.col("status") == "done").select("segment_id").collect()}
+
+    all_segments = list(range(num_segments))
+    batches: list[list[int]] = [
+        [s for s in all_segments[i::segment_batches]]
+        for i in range(segment_batches)
+    ]
+    docs_written = resume and Path(cat.docs_path, "_SUCCESS").exists()
+
+    if not docs_written:
+        docs.select(*docs_cols).write.mode("overwrite").parquet(cat.docs_path)
+
+    docs_idx = spark.read.parquet(cat.docs_path)  # re-read: stable doc ids
+
+    tok_docs = None  # lazily recompute tokens only if some batch runs
+    n_run = 0
+    for bi, seg_ids in enumerate(batches):
+        todo = [s for s in seg_ids if s not in done]
+        if not todo:
+            continue
+        if max_batches is not None and n_run >= max_batches:
+            break
+        n_run += 1
+        t0 = time.time()
+        if tok_docs is None:
+            tok_docs = prepare_docs(df, key_cols, id_col, content_col, num_segments) \
+                .select("segment_id", "doc_id", "norm", "tokens")
+        part = tok_docs.filter(F.col("segment_id").isin(todo))
+        exploded = part.select(
+            "segment_id", "doc_id", "norm",
+            F.posexplode("tokens").alias("pos", "term"))
+        exploded = exploded.withColumn("bucket", _bucket_col(F.col("term"), num_buckets))
+        postings = exploded.groupBy("segment_id", "bucket").applyInPandas(
+            _encode_group_fn(positions), schema=POSTINGS_SCHEMA)
+        (postings.write.mode("append")
+         .partitionBy("bucket")
+         .parquet(cat.postings_path))
+        wall_ms = int((time.time() - t0) * 1000)
+
+        # lineage rows (fingerprint = sum of crc32 of doc keys per segment)
+        lineage = (docs_idx.filter(F.col("segment_id").isin(todo))
+                   .groupBy("segment_id")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum(F.crc32(F.col("content_sha256"))).alias("input_fingerprint"),
+                        F.sum("doc_len").alias("n_postings"))
+                   .withColumn("status", F.lit("done"))
+                   .withColumn("wall_ms", F.lit(wall_ms))
+                   .withColumn("batch", F.lit(bi))
+                   .withColumn("ts", F.current_timestamp()))
+        lineage.write.mode("append").parquet(cat.lineage_path)
+
+    # term dictionary + collection stats (global merge = one shuffle agg;
+    # the k-way SegmentMerger heap is Spark's sort-merge shuffle)
+    pdf = spark.read.parquet(cat.postings_path)
+    (pdf.groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf"))
+        .write.mode("overwrite").parquet(cat.term_dict_path))
+    stats = docs_idx.agg(
+        F.count("*").alias("max_doc"),
+        F.count("*").alias("doc_count"),
+        F.sum("doc_len").alias("sum_total_term_freq"))
+    sum_df = spark.read.parquet(cat.term_dict_path).agg(
+        F.sum("df").alias("sum_doc_freq"))
+    stats.crossJoin(sum_df).write.mode("overwrite").parquet(cat.stats_path)
+
+    cat.commit({"batches_run": n_run})
+    return cat

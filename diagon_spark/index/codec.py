@@ -1,0 +1,247 @@
+"""Posting-list block codec — numpy-vectorized delta + bitpack + varint.
+
+Spark-first re-expression of the reference posting format
+(codecs/lucene104/Lucene104PostingsWriter.h:60-86, ForUtil.h:30-60,
+util/VByte.h:51-80): docIDs are delta-encoded in blocks of 128 and
+bit-packed with a per-block bit width; the sub-128 tail uses LEB128
+varints; per-block "impact" metadata (first/last doc, max tf, max norm)
+enables Block-Max WAND skipping without decoding
+(Lucene104PostingsWriter.h:19-23, 218-228). The exact bit layout is ours
+(the contract is rank-identical docIDs/scores, not binary compatibility).
+
+Everything here is pure numpy over bytes — it runs inside Arrow-batched
+pandas UDFs, which is this engine's analogue of the reference's SIMD
+decode kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # docs per block — Lucene104PostingsWriter.h:212-218 (SKIP_INTERVAL)
+
+# ---------------------------------------------------------------- bitpack
+
+
+def pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """Pack non-negative ints into a MSB-first bit stream of `bits` each."""
+    if bits == 0 or len(values) == 0:
+        return b""
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bit_matrix = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bit_matrix.ravel()).tobytes()
+
+
+def unpack_bits(buf: bytes | np.ndarray, bits: int, n: int) -> np.ndarray:
+    """Inverse of pack_bits -> int64 array of length n."""
+    if bits == 0:
+        return np.zeros(n, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    flat = np.unpackbits(raw, count=n * bits).astype(np.int64)
+    weights = (np.int64(1) << np.arange(bits - 1, -1, -1, dtype=np.int64))
+    return flat.reshape(n, bits) @ weights
+
+
+def _bit_width(values: np.ndarray) -> int:
+    if len(values) == 0:
+        return 0
+    m = int(np.asarray(values, dtype=np.uint64).max())
+    return m.bit_length()
+
+
+# ---------------------------------------------------------------- varint
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 encode (vectorized) — analogue of util/VByte.h:51-80."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    nb = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    max_nb = int(nb.max())
+    cols = np.arange(max_nb, dtype=np.int64)
+    payload = (v[:, None] >> (np.uint64(7) * cols[None, :].astype(np.uint64))) & np.uint64(0x7F)
+    cont = cols[None, :] < (nb[:, None] - 1)
+    bytes_matrix = (payload | np.where(cont, np.uint64(0x80), np.uint64(0))).astype(np.uint8)
+    mask = cols[None, :] < nb[:, None]
+    return bytes_matrix[mask].tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """LEB128 decode (vectorized) -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(len(b), dtype=np.int64)
+    group = np.searchsorted(ends, idx)
+    shift = (idx - starts[group]).astype(np.uint64) * np.uint64(7)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, group, contrib)
+    return vals
+
+
+# ------------------------------------------------------- posting encode
+
+# Encoded row fields (one postings-table row = one term-chunk in a segment):
+#   df            int32   number of docs in this chunk
+#   doc_blocks    bytes   per full block: [1B bits][packed 128 gaps]; tail: varint gaps
+#   tf_blocks     bytes   same layout over tf values
+#   norm_bytes    bytes   1 norm byte per doc, block-aligned (i*BLOCK slicing)
+#   block_first   int64[] absolute first docID per block
+#   block_last    int64[] absolute last docID per block  (skip/advance)
+#   block_max_tf  int32[] per-block max tf               (Block-Max WAND)
+#   block_max_norm int32[] per-block max norm byte       (Block-Max WAND)
+#   block_doc_off int32[] byte offset of each block in doc_blocks
+#   block_tf_off  int32[] byte offset of each block in tf_blocks
+#   pos_blocks    bytes   optional: varint positions per block (deltas within doc)
+#   block_pos_off int32[] byte offset of each block in pos_blocks
+
+
+def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
+                         positions: list[np.ndarray] | None = None) -> dict:
+    """Encode one term-chunk's postings (doc_ids must be sorted ascending)."""
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    nblocks = (n + BLOCK - 1) // BLOCK
+
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    pos_parts: list[bytes] = []
+    block_first = np.empty(nblocks, dtype=np.int64)
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_max_tf = np.empty(nblocks, dtype=np.int32)
+    block_max_norm = np.empty(nblocks, dtype=np.int32)
+    doc_off = np.zeros(nblocks, dtype=np.int32)
+    tf_off = np.zeros(nblocks, dtype=np.int32)
+    pos_off = np.zeros(nblocks, dtype=np.int32)
+
+    dpos = tpos = ppos = 0
+    for bi in range(nblocks):
+        lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
+        docs = doc_ids[lo:hi]
+        btfs = tfs[lo:hi]
+        gaps = np.diff(docs, prepend=docs[0])  # gaps[0] == 0
+        block_first[bi] = docs[0]
+        block_last[bi] = docs[-1]
+        block_max_tf[bi] = btfs.max()
+        # norm byte 0 decodes to field length 1.0 exactly like 127
+        # (BM25Similarity.h:140-149), so for a sound score upper bound the
+        # impact metadata must record it as 127.
+        bnorms = norms[lo:hi]
+        block_max_norm[bi] = int(np.where(bnorms == 0, 127, bnorms).max())
+        doc_off[bi] = dpos
+        tf_off[bi] = tpos
+        pos_off[bi] = ppos
+        if hi - lo == BLOCK:
+            db = _bit_width(gaps)
+            doc_parts.append(bytes([db]) + pack_bits(gaps, db))
+            tb = _bit_width(btfs)
+            tf_parts.append(bytes([tb]) + pack_bits(btfs, tb))
+        else:  # tail block — varint, Lucene104PostingsWriter.h:231-248
+            doc_parts.append(varint_encode(gaps))
+            tf_parts.append(varint_encode(btfs))
+        dpos += len(doc_parts[-1])
+        tpos += len(tf_parts[-1])
+        if positions is not None:
+            flat = []
+            for di in range(lo, hi):
+                p = np.asarray(positions[di], dtype=np.int64)
+                flat.append(np.diff(p, prepend=0))  # first pos absolute
+            enc = varint_encode(np.concatenate(flat) if flat else np.zeros(0, np.int64))
+            pos_parts.append(enc)
+            ppos += len(enc)
+
+    return {
+        "df": np.int32(n),
+        "doc_blocks": b"".join(doc_parts),
+        "tf_blocks": b"".join(tf_parts),
+        "norm_bytes": norms.tobytes(),
+        "block_first": block_first,
+        "block_last": block_last,
+        "block_max_tf": block_max_tf,
+        "block_max_norm": block_max_norm,
+        "block_doc_off": doc_off,
+        "block_tf_off": tf_off,
+        "pos_blocks": b"".join(pos_parts) if positions is not None else None,
+        "block_pos_off": pos_off if positions is not None else None,
+    }
+
+
+def _decode_block_vals(buf: np.ndarray, off: int, end: int, count: int, full: bool) -> np.ndarray:
+    if full:
+        bits = int(buf[off])
+        return unpack_bits(buf[off + 1:end], bits, count)
+    return varint_decode(buf[off:end]).astype(np.int64)
+
+
+def decode_block(row: dict, bi: int, want_positions: bool = False):
+    """Decode block `bi` of an encoded row -> (doc_ids, tfs, norms[, positions]).
+
+    `row` holds numpy views as produced by encode_term_postings (or read
+    back from parquet). Used by the WAND scorer to decode only blocks
+    whose upper bound beats the running threshold.
+    """
+    n = int(row["df"])
+    nblocks = (n + BLOCK - 1) // BLOCK
+    lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
+    count = hi - lo
+    full = count == BLOCK
+
+    dbuf = np.frombuffer(row["doc_blocks"], dtype=np.uint8)
+    doff = row["block_doc_off"]
+    dend = int(doff[bi + 1]) if bi + 1 < nblocks else len(dbuf)
+    gaps = _decode_block_vals(dbuf, int(doff[bi]), dend, count, full)
+    docs = int(row["block_first"][bi]) + np.cumsum(gaps)
+
+    tbuf = np.frombuffer(row["tf_blocks"], dtype=np.uint8)
+    toff = row["block_tf_off"]
+    tend = int(toff[bi + 1]) if bi + 1 < nblocks else len(tbuf)
+    tfs = _decode_block_vals(tbuf, int(toff[bi]), tend, count, full)
+
+    norms = np.frombuffer(row["norm_bytes"], dtype=np.uint8)[lo:hi]
+
+    if not want_positions:
+        return docs, tfs, norms
+
+    pbuf = np.frombuffer(row["pos_blocks"], dtype=np.uint8)
+    poff = row["block_pos_off"]
+    pend = int(poff[bi + 1]) if bi + 1 < nblocks else len(pbuf)
+    flat = varint_decode(pbuf[int(poff[bi]):pend]).astype(np.int64)
+    # split by tf: positions of doc i are cumsum within its slice
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    positions = []
+    for i in range(count):
+        seg = flat[bounds[i]:bounds[i + 1]]
+        positions.append(np.cumsum(seg))
+    return docs, tfs, norms, positions
+
+
+def decode_all(row: dict, want_positions: bool = False):
+    """Decode every block of a row -> concatenated arrays."""
+    n = int(row["df"])
+    nblocks = (n + BLOCK - 1) // BLOCK
+    docs_l, tfs_l, norms_l, pos_l = [], [], [], []
+    for bi in range(nblocks):
+        out = decode_block(row, bi, want_positions)
+        docs_l.append(out[0])
+        tfs_l.append(out[1])
+        norms_l.append(out[2])
+        if want_positions:
+            pos_l.extend(out[3])
+    docs = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
+    tfs = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.int64)
+    norms = np.concatenate(norms_l) if norms_l else np.zeros(0, np.uint8)
+    if want_positions:
+        return docs, tfs, norms, pos_l
+    return docs, tfs, norms
