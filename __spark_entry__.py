@@ -1,38 +1,513 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship BM25 query at sf0.001;
+`queries()` exposes every implemented operator over the driver's parquet
+tables; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for each.
+
+The search-engine queries run through the real index path (build →
+postings codec → block-max scorer) in f64 scoring mode, which is
+reproducible in ANSI SQL (see diagon_spark/search/wand.py). The default
+float32 mode — bit-identical to the reference BM25 — is covered by
+tests/test_e2e_search.py against the pure-Python golden oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------- corpus
+
+TOKEN_RE_SQL = "[a-z0-9][a-z0-9'']*"
+
+SINGLE_TERM = "data"
+AND2 = ["table", "value"]
+OR5 = ["join", "window", "batch", "query", "line"]
+OR10 = OR5 + ["spark", "order", "column", "hash", "scan"]
+PHRASE = ["fast", "slow"]
+MSM_N = 2
+
+_IDX_VERSION = "v1"
+_index_cache: dict[str, object] = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the inverted index over `documents`."""
+    from diagon_spark import build_index, IndexCatalog, Searcher
+
+    key = os.path.abspath(sf_dir)
+    if key not in _index_cache:
+        tag = key.strip("/").replace("/", "_")
+        out = os.path.join(tempfile.gettempdir(),
+                           f"diagon_idx_{_IDX_VERSION}_{tag}")
+        try:
+            cat = IndexCatalog.load(out)
+        except FileNotFoundError:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            cat = build_index(spark, docs, out, num_segments=4, num_buckets=8,
+                              id_col="doc_id", content_col="text",
+                              positions=True)
+        _index_cache[key] = Searcher(spark, cat)
+    return _index_cache[key]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rounded(df: DataFrame) -> DataFrame:
+    return df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.round(F.col("score"), 6).alias("score"))
+
+
+# ----------------------------------------------------------- entrypoint
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: OR-10 BM25 top-100 over sf0.001 via the full index path."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    from diagon_spark.search.query import Boolean, Term
+    q = Boolean(should=[Term(t) for t in OR10])
+    return _rounded(s.search(q, k=100, f64=True))
+
+
+# -------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from diagon_spark.pipelines import dedup, multimodal, similarity, textstats
+    from diagon_spark.search.query import Boolean, MatchAll, Phrase, Term
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def term_bm25(spark, sf):
+        return _rounded(_searcher(spark, sf).search(Term(SINGLE_TERM),
+                                                    k=100, f64=True))
+
+    def and2_bm25(spark, sf):
+        q = Boolean(must=[Term(t) for t in AND2])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def or5_bm25(spark, sf):
+        q = Boolean(should=[Term(t) for t in OR5])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def or10_bm25(spark, sf):
+        q = Boolean(should=[Term(t) for t in OR10])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def notq_bm25(spark, sf):
+        q = Boolean(must=[Term(SINGLE_TERM)], must_not=[Term("window")])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def filter_bm25(spark, sf):
+        q = Boolean(must=[Term(SINGLE_TERM)], filter=[Term("window")])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def msm_bm25(spark, sf):
+        q = Boolean(should=[Term(t) for t in OR5], min_should_match=MSM_N)
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def phrase_bm25(spark, sf):
+        q = Phrase(tuple(PHRASE))
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def term_count(spark, sf):
+        n = _searcher(spark, sf).count(Term(SINGLE_TERM))
+        return spark.range(1).select(F.lit(n).cast("long").alias("n"))
+
+    def match_all(spark, sf):
+        s = _searcher(spark, sf)
+        return s.search(MatchAll(), k=100).select(
+            F.col("doc_id").cast("long"), F.col("score"))
+
+    def range_count_chars(spark, sf):
+        return (_docs(spark, sf)
+                .filter(F.col("n_chars").between(150, 300))
+                .agg(F.count("*").cast("long").alias("n")))
+
+    def events_range_count(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (ev.filter((F.col("event_type") == "click")
+                          & F.col("value").between(5.0, 50.0))
+                .agg(F.count("*").cast("long").alias("n")))
+
+    def events_type_agg(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value")))
+
+    def token_counts(spark, sf):
+        return textstats.token_counts(_docs(spark, sf))
+
+    def quality_scores(spark, sf):
+        return textstats.quality_scores(_docs(spark, sf))
+
+    def lang_id(spark, sf):
+        return textstats.language_id(_docs(spark, sf))
+
+    def fingerprints(spark, sf):
+        return textstats.fingerprints(_docs(spark, sf))
+
+    def dedup_exact(spark, sf):
+        return (_docs(spark, sf)
+                .groupBy(F.md5(F.col("text")).alias("content_md5"))
+                .agg(F.count("*").cast("long").alias("n_dups"),
+                     F.min(F.col("doc_id").cast("long")).alias("keep_doc_id")))
+
+    def jaccard_dups(spark, sf):
+        return dedup.jaccard_pairs(_docs(spark, sf), k=3, threshold=0.05,
+                                   max_shingle_df=10**9)
+
+    def minhash_lsh(spark, sf):
+        return dedup.minhash_lsh_candidates(_docs(spark, sf), k=3,
+                                            num_hashes=16, band_size=2)
+
+    def simhash(spark, sf):
+        return dedup.simhash(_docs(spark, sf), bits=32)
+
+    def knn_cosine(spark, sf):
+        emb = _emb(spark, sf)
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+        return similarity.cosine_topk(emb, qvec, k=10, exclude_id=0)
+
+    def ann_lsh(spark, sf):
+        emb = _emb(spark, sf)
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+        return similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=12,
+                                       max_hamming=3, exclude_id=0)
+
+    def blob_meta(spark, sf):
+        return multimodal.blob_metadata(multimodal.to_blob(_docs(spark, sf)))
+
+    def decode_image_fake(spark, sf):
+        return multimodal.decode_image(multimodal.to_blob(_docs(spark, sf)))
+
+    def frame_sample(spark, sf):
+        return multimodal.frame_sample(multimodal.to_blob(_docs(spark, sf)),
+                                       every_n=10)
+
+    return {
+        "term_bm25": term_bm25,
+        "and2_bm25": and2_bm25,
+        "or5_bm25": or5_bm25,
+        "or10_bm25": or10_bm25,
+        "notq_bm25": notq_bm25,
+        "filter_bm25": filter_bm25,
+        "msm_bm25": msm_bm25,
+        "phrase_bm25": phrase_bm25,
+        "term_count": term_count,
+        "match_all": match_all,
+        "range_count_chars": range_count_chars,
+        "events_range_count": events_range_count,
+        "events_type_agg": events_type_agg,
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "lang_id": lang_id,
+        "fingerprints": fingerprints,
+        "dedup_exact": dedup_exact,
+        "jaccard_dups": jaccard_dups,
+        "minhash_lsh": minhash_lsh,
+        "simhash": simhash,
+        "knn_cosine": knn_cosine,
+        "ann_lsh": ann_lsh,
+        "blob_meta": blob_meta,
+        "decode_image_fake": decode_image_fake,
+        "frame_sample": frame_sample,
+    }
+
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term,
+         unnest(range(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')))) AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+docs_n AS (SELECT d.doc_id, COALESCE(l.n, 0) AS n
+           FROM documents d LEFT JOIN doclen l USING(doc_id)),
+norms AS (SELECT doc_id, CASE WHEN n <= 0 THEN 127
+          ELSE LEAST(127, CAST(TRUNC(127.0 / SQRT(CAST(n AS DOUBLE))) AS INT))
+          END AS norm FROM docs_n),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS max_doc,
+                 (SELECT SUM(n) FROM docs_n) AS sttf),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+"""
+
+
+def _terms_in(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def _scores_cte(terms: list[str]) -> str:
+    """Per-(doc, term) BM25 scores CTE — formula identical to the engine's
+    f64 path (wand.TermScorerParams.score with f64=True)."""
+    return f"""
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, tf.term,
+    LN(1.0 + (s.max_doc - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf /
+    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS sc
+  FROM tf JOIN dfq USING(term) JOIN norms nrm USING(doc_id)
+  CROSS JOIN stats s
+  WHERE tf.term IN ({_terms_in(terms)})
+)"""
+
+
+def _or_sql(terms: list[str], msm: int = 0) -> str:
+    having = f"HAVING COUNT(*) >= {msm}" if msm > 1 else ""
+    return f"""WITH {_TOK_CTE}, {_scores_cte(terms)}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores GROUP BY doc_id {having}
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _and_sql(terms: list[str]) -> str:
+    return f"""WITH {_TOK_CTE}, {_scores_cte(terms)}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores GROUP BY doc_id
+  HAVING COUNT(*) = {len(set(terms))}
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _not_sql(must: list[str], must_not: list[str]) -> str:
+    ban = _terms_in(must_not)
+    return f"""WITH {_TOK_CTE}, {_scores_cte(must)}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({ban}))
+  GROUP BY doc_id HAVING COUNT(*) = {len(set(must))}
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _filter_sql(must: list[str], filt: list[str]) -> str:
+    req = _terms_in(filt)
+    return f"""WITH {_TOK_CTE}, {_scores_cte(must)}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores
+  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ({req})
+                   GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(set(filt))})
+  GROUP BY doc_id HAVING COUNT(*) = {len(set(must))}
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _phrase_sql(terms: list[str]) -> str:
+    t0 = terms[0].replace("'", "''")
+    exists = "\n  ".join(
+        f"AND EXISTS (SELECT 1 FROM tok b{i} WHERE b{i}.doc_id = a.doc_id "
+        f"AND b{i}.term = '{t.replace(chr(39), chr(39) * 2)}' "
+        f"AND b{i}.pos = a.pos + {i})"
+        for i, t in enumerate(terms[1:], start=1))
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  {exists}
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS total
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = _H32.format(x="term")
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(bits))
+    assemble = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits))
+    return f"""WITH {_TOK_CTE},
+th AS (SELECT doc_id, term, tf, {h} AS h FROM tf),
+agg AS (SELECT doc_id,
+    {bit_sums}
+  FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM agg"""
+
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)"""
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}"""
+
+
+def _minhash_sql(num_hashes: int = 16, band_size: int = 2) -> str:
+    mins = ",\n    ".join(
+        "MIN(" + _H32.format(x=f"concat('{i}:', shingle)") + f") AS mh_{i}"
+        for i in range(num_hashes))
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh_{b * band_size} AS VARCHAR) || '_' || "
+        f"CAST(mh_{b * band_size + 1} AS VARCHAR)) AS band_hash FROM sig"
+        for b in range(num_hashes // band_size))
+    return f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+sig AS (SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id),
+buckets AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id"""
+
+
+_KNN_SQL = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT vec_id, unnest(embedding) AS a,
+                 unnest((SELECT qe FROM q)) AS b FROM embeddings),
+dots AS (SELECT vec_id,
+                SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na
+         FROM pairs GROUP BY vec_id),
+qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+       FROM (SELECT unnest(qe) AS x FROM q))
+SELECT vec_id, ROUND(dot / (SQRT(na) * qn.qnorm), 6) AS cosine
+FROM dots CROSS JOIN qn
+WHERE vec_id <> 0
+ORDER BY ROUND(dot / (SQRT(na) * qn.qnorm), 6) DESC, vec_id ASC
+LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_in = ", ".join(f"'{s}'" for s in
+                        __import__("diagon_spark.pipelines.textstats",
+                                   fromlist=["STOPWORDS"]).STOPWORDS)
+    tok_list = f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')"
+    return {
+        "term_bm25": _or_sql([SINGLE_TERM]),
+        "and2_bm25": _and_sql(AND2),
+        "or5_bm25": _or_sql(OR5),
+        "or10_bm25": _or_sql(OR10),
+        "notq_bm25": _not_sql([SINGLE_TERM], ["window"]),
+        "filter_bm25": _filter_sql([SINGLE_TERM], ["window"]),
+        "msm_bm25": _or_sql(OR5, msm=MSM_N),
+        "phrase_bm25": _phrase_sql(PHRASE),
+        "term_count": f"""WITH {_TOK_CTE}
+SELECT COUNT(*) AS n FROM tf WHERE term = '{SINGLE_TERM}'""",
+        "match_all": """SELECT doc_id, 1.0 AS score FROM documents
+ORDER BY doc_id ASC LIMIT 100""",
+        "range_count_chars": ("SELECT COUNT(*) AS n FROM documents "
+                              "WHERE n_chars BETWEEN 150 AND 300"),
+        "events_range_count": ("SELECT COUNT(*) AS n FROM events "
+                               "WHERE event_type = 'click' "
+                               "AND value BETWEEN 5.0 AND 50.0"),
+        "events_type_agg": ("SELECT event_type, COUNT(*) AS n, "
+                            "ROUND(SUM(value), 4) AS sum_value "
+                            "FROM events GROUP BY event_type"),
+        "token_counts": f"""SELECT doc_id,
+  CAST(len({tok_list}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({tok_list})) AS BIGINT) AS n_distinct
+FROM documents""",
+        "quality_scores": f"""WITH t AS (
+  SELECT doc_id, text, {tok_list} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_raw,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        / GREATEST(length(text), 1), 6) AS alnum_ratio,
+  ROUND(CAST(len(list_intersect(list_distinct(toks),
+        [{stop_in}])) AS DOUBLE)
+        / GREATEST(len(list_distinct(toks)), 1), 6) AS stopword_ratio,
+  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / GREATEST(len(toks), 1), 6) AS mean_token_len
+FROM t""",
+        "lang_id": f"""WITH t AS (
+  SELECT doc_id, {tok_list} AS toks FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(list_distinct(toks), [{stop_in}])) AS DOUBLE)
+      / GREATEST(len(list_distinct(toks)), 1) AS ratio
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred,
+  ROUND(ratio, 6) AS stopword_ratio
+FROM r""",
+        "fingerprints": f"""SELECT doc_id,
+  md5(array_to_string({tok_list}, ' ')) AS fingerprint
+FROM documents""",
+        "dedup_exact": """SELECT md5(text) AS content_md5,
+  COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)""",
+        "jaccard_dups": _jaccard_sql(0.05),
+        "minhash_lsh": _minhash_sql(16, 2),
+        "simhash": _simhash_sql(32),
+        "knn_cosine": _KNN_SQL,
+        # ann_lsh: approximate variant, hyperplane projections not
+        # SQL-expressible — rows-only check (intentional).
+        "blob_meta": """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) = 0 THEN -1
+       ELSE ord(substr(text, 1, 1)) END AS INT) AS header_byte,
+  md5(text) AS blob_md5
+FROM documents""",
+        "decode_image_fake": """WITH h AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS n,
+    (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END)
+    + 256 * (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END)
+    + 65536 * (CASE WHEN length(text) >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END)
+    + 16777216 * (CASE WHEN length(text) >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END)
+    AS hv
+  FROM documents
+)
+SELECT doc_id,
+  CAST(16 + (hv % 1024) AS BIGINT) AS width,
+  CAST(16 + ((hv // 1024) % 1024) AS BIGINT) AS height,
+  CAST(CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END AS INT) AS n_channels
+FROM h""",
+        "frame_sample": """SELECT doc_id,
+  unnest(range(0, octet_length(encode(text)) % 100 + 1, 10)) AS frame_no
+FROM documents""",
+    }

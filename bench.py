@@ -1,0 +1,104 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., plus throughput extras}.
+
+Query classes mirror the reference benchmark set
+(benchmarks/reuters_benchmark.cpp:197-317): single-term, AND-2,
+OR-{5,10}, phrase — top-100 — plus index-build throughput and the
+data-pipeline headliners (minhash-LSH dedup, brute-force knn).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from diagon_spark import build_index, Searcher
+    from diagon_spark.pipelines import dedup, similarity
+    from diagon_spark.search.query import Boolean, Phrase, Term
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("diagon-bench")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="diagon_bench_idx_")
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    cat = build_index(spark, docs, out_dir, num_segments=int(CPUS),
+                      num_buckets=16, id_col="doc_id", content_col="text",
+                      positions=True)
+    timings["index_build"] = time.time() - t0
+
+    searcher = Searcher(spark, cat)
+    qset = {
+        "single_term": Term("data"),
+        "and_2": Boolean(must=[Term("table"), Term("value")]),
+        "or_5": Boolean(should=[Term(t) for t in
+                                ["join", "window", "batch", "query", "line"]]),
+        "or_10": Boolean(should=[Term(t) for t in
+                                 ["join", "window", "batch", "query", "line",
+                                  "spark", "order", "column", "hash", "scan"]]),
+        "phrase": Phrase(("fast", "slow")),
+    }
+    for name, q in qset.items():
+        # warm once, then time best-of-REPEAT (reference reports P50 warm)
+        searcher.search(q, k=100).collect()
+        best = float("inf")
+        for _ in range(REPEAT):
+            t = time.time()
+            searcher.search(q, k=100).collect()
+            best = min(best, time.time() - t)
+        timings[name] = best
+
+    t = time.time()
+    dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, band_size=2).count()
+    timings["minhash_lsh"] = time.time() - t
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    t = time.time()
+    similarity.cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
+    timings["knn_cosine"] = time.time() - t
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "index-build + BM25 query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

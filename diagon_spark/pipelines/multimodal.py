@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over mapInPandas. The decode step itself is STUBBED here
+(no image/audio libraries in this container — clearly marked below);
+the Spark-side plumbing (schema, batch shape, partitioning, UDF
+signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+BLOB_META_SCHEMA = ("doc_id long, n_bytes long, header_byte int, "
+                    "blob_md5 string")
+
+
+def to_blob(df: DataFrame, id_col: str = "doc_id",
+            payload_col: str = "text") -> DataFrame:
+    """Treat a payload column as an opaque binary blob column."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.col(payload_col).cast("binary").alias("blob"))
+
+
+def blob_metadata(blobs: DataFrame) -> DataFrame:
+    """Typed metadata per blob via mapInPandas (Arrow batches of binary).
+
+    The batch shape (pd.Series of bytes objects) is exactly what a real
+    image decode (PIL/libvips) would consume.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            blobs_np = pdf["blob"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs_np.map(len).astype(np.int64),
+                "header_byte": blobs_np.map(
+                    lambda b: int(b[0]) if len(b) else -1).astype(np.int32),
+                "blob_md5": blobs_np.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+            })
+
+    return blobs.mapInPandas(extract, schema=BLOB_META_SCHEMA)
+
+
+def decode_image(blobs: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode image blobs -> (doc_id, width, height, n_channels).
+
+    STUB: no imaging libraries exist in this container. With fake=True a
+    deterministic fake decode derives dimensions from the payload hash —
+    keeping the full Spark plumbing (schema, Arrow batching, partition
+    behavior) real and testable. With fake=False this raises, marking
+    exactly where PIL/turbojpeg plugs in on a real cluster.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips — not available here; "
+            "swap `fake=False` on a cluster with imaging libs installed")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["blob"].map(len).astype(np.int64)
+            h = pdf["blob"].map(lambda b: int.from_bytes(
+                bytes(b[:4]).ljust(4, b"\0"), "little"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": (16 + (h % 1024)).astype(np.int64),
+                "height": (16 + ((h // 1024) % 1024)).astype(np.int64),
+                "n_channels": np.where(n % 2 == 0, 3, 1).astype(np.int32),
+            })
+
+    return blobs.mapInPandas(
+        dec, schema="doc_id long, width long, height long, n_channels int")
+
+
+def frame_sample(blobs: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video blobs: emits (doc_id, frame_no)
+    rows for every_n-th fake frame; a real impl swaps the frame iterator
+    for pyav/ffmpeg. Output explodes rows — the partition-count choice
+    (repartition upstream by doc_id) is the part that matters at scale."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = (pdf["blob"].map(len) % 100 + 1).astype(np.int64)
+            rows = {"doc_id": [], "frame_no": []}
+            for did, nf in zip(pdf["doc_id"], n_frames):
+                for f in range(0, int(nf), every_n):
+                    rows["doc_id"].append(did)
+                    rows["frame_no"].append(f)
+            yield pd.DataFrame(rows, dtype=np.int64)
+
+    return blobs.mapInPandas(sample, schema="doc_id long, frame_no long")

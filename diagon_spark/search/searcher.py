@@ -75,14 +75,19 @@ class Searcher:
         doc_count, sttf = bm25.collection_stats_with_fallbacks(
             self.max_doc, self.sum_total_term_freq)
         out = {}
+        import math
+        avg64 = (float(sttf) / float(doc_count)
+                 if doc_count > 0 and sttf > 0 else 50.0)
         for t in terms:
             df, _ = stats[t]
             if df == 0:
                 df = self.max_doc // 10  # TermQuery.cpp:250-256 fallback
             boost = (boosts or {}).get(t, 1.0)
-            idf = float(bm25.idf(df, doc_count)) * boost
+            idf32 = float(bm25.idf(df, doc_count)) * boost
+            idf64 = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)) * boost
             avg = float(bm25.avg_field_length(sttf, doc_count))
-            out[t] = wand.TermScorerParams(np.float32(idf), avg)
+            out[t] = wand.TermScorerParams(np.float32(idf32), avg,
+                                           idf64=idf64, avg64=avg64)
         return out
 
     def _phrase_params(self, terms: list[str], boost: float = 1.0
@@ -97,9 +102,14 @@ class Searcher:
             if df > 0:
                 min_df = min(min_df, df)
         min_df = max(min_df, 1)
+        import math
         idf = float(bm25.idf(min_df, doc_count)) * boost
-        return wand.TermScorerParams(np.float32(idf),
-                                     float(bm25.avg_field_length(sttf, doc_count)))
+        idf64 = math.log(1.0 + (doc_count - min_df + 0.5) / (min_df + 0.5)) * boost
+        avg64 = (float(sttf) / float(doc_count)
+                 if doc_count > 0 and sttf > 0 else 50.0)
+        return wand.TermScorerParams(
+            np.float32(idf), float(bm25.avg_field_length(sttf, doc_count)),
+            idf64=idf64, avg64=avg64)
 
     # --------------------------------------------- postings scan (stage 2)
 

@@ -38,22 +38,36 @@ from diagon_spark.search import bm25
 
 
 class TermScorerParams:
-    """Driver-computed per-term scoring constants (idf already boosted)."""
+    """Driver-computed per-term scoring constants (idf already boosted).
 
-    __slots__ = ("idf_boost", "avg_len")
+    Carries both float32 constants (reference-bit-identical scoring) and
+    float64 ones (`idf64`/`avg64`, computed in full double precision) so
+    the f64 mode is reproducible by an ANSI-SQL oracle: every f64 op below
+    maps 1:1 to `LN/SQRT/*/+` on DOUBLEs.
+    """
 
-    def __init__(self, idf_boost: float, avg_len: float):
+    __slots__ = ("idf_boost", "avg_len", "idf64", "avg64")
+
+    def __init__(self, idf_boost: float, avg_len: float,
+                 idf64: float | None = None, avg64: float | None = None):
         self.idf_boost = idf_boost
         self.avg_len = avg_len
+        self.idf64 = float(idf64 if idf64 is not None else idf_boost)
+        self.avg64 = float(avg64 if avg64 is not None else avg_len)
 
     def score(self, tfs, norms, f64: bool):
         if not f64:
             return bm25.SimScorer(np.float32(self.idf_boost),
                                   np.float32(self.avg_len)).score(tfs, norms)
         freq = np.asarray(tfs, dtype=np.float64)
-        length = decode_norm_to_length(norms).astype(np.float64)
-        k = 1.2 * (1.0 - 0.75 + 0.75 * length / self.avg_len)
-        return self.idf_boost * freq / (freq + k)
+        # norm decode natively in f64: (127.0/norm)^2, {0,127} -> 1.0
+        n = np.asarray(norms).astype(np.float64)
+        special = (n == 0.0) | (n == 127.0)
+        with np.errstate(divide="ignore"):
+            inv = 127.0 / np.where(special, 1.0, n)
+        length = np.where(special, 1.0, inv * inv)
+        k = 1.2 * (1.0 - 0.75 + 0.75 * length / self.avg64)
+        return self.idf64 * freq / (freq + k)
 
 
 class _SegmentPostings:
