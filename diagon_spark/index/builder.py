@@ -219,18 +219,20 @@ def _encode_group_fn(has_positions: bool):
     return encode
 
 
-def _tokenize_udf():
+def _tokenize_udf(analyzer=None):
     from pyspark.sql.functions import pandas_udf
+
+    fn = analyzer or tokenize_series
 
     @pandas_udf(ArrayType(StringType()))
     def tok(texts: pd.Series) -> pd.Series:
-        return tokenize_series(texts)
+        return fn(texts)
 
     return tok
 
 
 def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
-                 content_col: str, num_segments: int) -> DataFrame:
+                 content_col: str, num_segments: int, analyzer=None) -> DataFrame:
     """Assign deterministic doc ids + segments, tokenize, norms, sha256.
 
     Deterministic doc_id (north_rule): with key_cols, docs are ordered by
@@ -239,7 +241,7 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
     index/SegmentMerger.cpp:45-63). With id_col, the given unique id is
     used as-is and the segment derives from it.
     """
-    tok = _tokenize_udf()
+    tok = _tokenize_udf(analyzer)
     if id_col is not None:
         base = df.withColumn("doc_id", F.col(id_col).cast("long"))
         base = base.withColumn(
@@ -273,7 +275,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 key_cols: list[str] | None = None, id_col: str | None = None,
                 content_col: str = "content", positions: bool = True,
                 segment_batches: int = 1, max_batches: int | None = None,
-                resume: bool = False) -> IndexCatalog:
+                resume: bool = False, analyzer=None) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     segment_batches > 1 splits the postings build into independent waves of
@@ -292,7 +294,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     root = Path(out_dir)
     root.mkdir(parents=True, exist_ok=True)
 
-    docs = prepare_docs(df, key_cols, id_col, content_col, num_segments)
+    docs = prepare_docs(df, key_cols, id_col, content_col, num_segments,
+                        analyzer)
     keep = (key_cols or []) + ([id_col] if id_col else [])
     docs_cols = list(dict.fromkeys(
         ["segment_id", "doc_id", *keep, "content_sha256", "doc_len", "norm"]))
@@ -328,7 +331,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         n_run += 1
         t0 = time.time()
         if tok_docs is None:
-            tok_docs = prepare_docs(df, key_cols, id_col, content_col, num_segments) \
+            tok_docs = prepare_docs(df, key_cols, id_col, content_col,
+                                    num_segments, analyzer) \
                 .select("segment_id", "doc_id", "norm", "tokens")
         part = tok_docs.filter(F.col("segment_id").isin(todo))
         exploded = part.select(

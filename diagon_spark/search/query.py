@@ -32,6 +32,20 @@ class MatchAll(Query):
 
 
 @dataclass(frozen=True)
+class Range(Query):
+    """Inclusive numeric range over a doc-values column of the docs table,
+    open bounds allowed (search/NumericRangeQuery.h:38-59 incl.
+    newLowerBound/newUpperBound forms). Constant-score filter query; the
+    BKD/skip-index pruning is parquet row-group stats + partition pruning
+    (SURVEY.md §2.3)."""
+
+    field: str
+    lower: float | int | None = None
+    upper: float | int | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Phrase(Query):
     """Exact phrase, slop=0 (PhraseQuery.cpp:28-34)."""
 

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from diagon_spark.index.builder import IndexCatalog, term_bucket
 from diagon_spark.search import bm25, wand
-from diagon_spark.search.query import Boolean, MatchAll, Phrase, Query, Term
+from diagon_spark.search.query import (Boolean, MatchAll, Phrase, Query,
+                                       Range, Term)
 
 _HIT_SCHEMA = "doc_id long, score double"
 
@@ -134,6 +135,14 @@ class Searcher:
             return (self.spark.read.parquet(self.cat.docs_path)
                     .select(F.col("doc_id"), score.alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
+        if isinstance(query, Range):
+            # constant-score range over docs-table doc values; Catalyst +
+            # parquet row-group stats provide the BKD-style pruning
+            return (self._range_docs(query)
+                    .select(F.col("doc_id"),
+                            F.lit(float(query.boost)).cast("double")
+                            .alias("score"))
+                    .orderBy(F.asc("doc_id")).limit(k))
 
         spec, params, phrase_params = self._plan(query)
         banned = self.deleted
@@ -144,13 +153,29 @@ class Searcher:
                 .applyInPandas(seg_fn, schema=_HIT_SCHEMA))
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _range_docs(self, query: Range) -> DataFrame:
+        docs = self.spark.read.parquet(self.cat.docs_path)
+        col = F.col(query.field)
+        if query.lower is not None:
+            docs = docs.filter(col >= query.lower)
+        if query.upper is not None:
+            docs = docs.filter(col <= query.upper)
+        if len(self.deleted):
+            docs = docs.filter(~F.col("doc_id")
+                               .isin([int(d) for d in self.deleted]))
+        return docs
+
     def count(self, query: Query) -> int:
         """Hit count; O(1) from term_dict for a single term
-        (TermQuery.cpp:312-341 Weight::count analogue)."""
+        (TermQuery.cpp:312-341 Weight::count analogue). Range counts are
+        the columnar skip/bulk/scan path (ColumnarStore.h:9-13): Catalyst
+        + parquet stats skip non-overlapping row groups."""
         if isinstance(query, MatchAll):
             return self.max_doc - len(self.deleted)
         if isinstance(query, Term) and len(self.deleted) == 0:
             return self.term_stats([query.term])[query.term][0]
+        if isinstance(query, Range):
+            return self._range_docs(query).count()
         return self.search(query, k=self.max_doc + 1).count()
 
     # ------------------------------------------------------------- plan
