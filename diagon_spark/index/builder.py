@@ -61,10 +61,6 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-def _bucket_col(col, num_buckets: int):
-    return F.pmod(F.crc32(col.cast("string")), F.lit(num_buckets)).cast("int")
-
-
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType()),
     StructField("bucket", IntegerType()),
@@ -143,19 +139,31 @@ class IndexCatalog:
         tmp.rename(cdir / f"commit_{gen}.json")  # atomic publish (segments_N)
 
 
-def _encode_group_fn(has_positions: bool):
-    """applyInPandas over one (segment_id, bucket) group: numpy-sort the
-    (term, doc, pos) tuples, run-length group into per-term postings,
-    block-encode, chunking heavy hitters."""
+def _encode_segment_fn(num_buckets: int, has_positions: bool):
+    """applyInPandas over ONE SEGMENT of compact (doc_id, norm, tokens)
+    rows — the DWPT flush analogue. The token-level explode, (term, doc)
+    aggregation, term sort, and block encode all happen in numpy inside
+    the UDF, so the only shuffle in the postings build is the compact
+    per-doc segment assignment (vs. shuffling one row per token
+    occurrence, which at 10^12 files would move ~200× more bytes)."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        segment_id, bucket = int(key[0]), int(key[1])
+        segment_id = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        norms = pdf["norm"].to_numpy(dtype=np.int64)
-        poss = pdf["pos"].to_numpy(dtype=np.int64)
+        tok_lists = pdf["tokens"].tolist()
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        terms = np.concatenate([np.asarray(t, dtype=object)
+                                for t in tok_lists if len(t)])
+        docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        norms = np.repeat(pdf["norm"].to_numpy(dtype=np.int64), lens)
+        # position of each token within its doc: arange minus doc start
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
         # sort by (term, doc, pos) — the deferred term sort of FreqProx flush
         order = np.lexsort((poss, docs, terms))
@@ -182,6 +190,7 @@ def _encode_group_fn(has_positions: bool):
         out_rows = []
         for ts, te in zip(t_starts, t_ends):
             term = g_terms[ts]
+            bucket = term_bucket(term, num_buckets)
             t_docs = g_docs[ts:te]
             t_tfs = tfs[ts:te]
             t_norms = g_norms[ts:te]
@@ -275,7 +284,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 key_cols: list[str] | None = None, id_col: str | None = None,
                 content_col: str = "content", positions: bool = True,
                 segment_batches: int = 1, max_batches: int | None = None,
-                resume: bool = False, analyzer=None) -> IndexCatalog:
+                resume: bool = False, analyzer=None,
+                persist_tokens: bool = False) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     segment_batches > 1 splits the postings build into independent waves of
@@ -294,8 +304,16 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     root = Path(out_dir)
     root.mkdir(parents=True, exist_ok=True)
 
+    # Tokenization feeds both the docs table and the postings build.
+    # Deterministic recompute (persist_tokens=False, default) measured
+    # FASTER than caching: JVM columnar caching of array<string> token
+    # columns costs more in memory/GC than re-running the vectorized
+    # tokenizer. persist_tokens=True flips to caching for expensive
+    # custom analyzers.
     docs = prepare_docs(df, key_cols, id_col, content_col, num_segments,
                         analyzer)
+    if persist_tokens:
+        docs = docs.persist()
     keep = (key_cols or []) + ([id_col] if id_col else [])
     docs_cols = list(dict.fromkeys(
         ["segment_id", "doc_id", *keep, "content_sha256", "doc_len", "norm"]))
@@ -331,17 +349,22 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         n_run += 1
         t0 = time.time()
         if tok_docs is None:
-            tok_docs = prepare_docs(df, key_cols, id_col, content_col,
-                                    num_segments, analyzer) \
-                .select("segment_id", "doc_id", "norm", "tokens")
+            tok_docs = docs.select("segment_id", "doc_id", "norm", "tokens")
         part = tok_docs.filter(F.col("segment_id").isin(todo))
-        exploded = part.select(
-            "segment_id", "doc_id", "norm",
-            F.posexplode("tokens").alias("pos", "term"))
-        exploded = exploded.withColumn("bucket", _bucket_col(F.col("term"), num_buckets))
-        postings = exploded.groupBy("segment_id", "bucket").applyInPandas(
-            _encode_group_fn(positions), schema=POSTINGS_SCHEMA)
-        (postings.write.mode("append")
+        # ONE compact shuffle (per-doc rows) into segment groups; the
+        # token explode + FreqProx aggregation happens in numpy inside
+        # the segment UDF (DWPT flush analogue — see _encode_segment_fn).
+        # Explicit partition count = one task per segment: AQE's byte-based
+        # coalescing would otherwise merge these CPU-heavy groups.
+        postings = (part.repartition(len(todo), F.col("segment_id"))
+                    .groupBy("segment_id").applyInPandas(
+                        _encode_segment_fn(num_buckets, positions),
+                        schema=POSTINGS_SCHEMA))
+        # compact by bucket before writing: without this every segment
+        # task writes one file into every bucket dir (segments × buckets
+        # small files); the shuffle moves already-encoded compact bytes
+        (postings.repartition(num_buckets, F.col("bucket"))
+         .write.mode("append")
          .partitionBy("bucket")
          .parquet(cat.postings_path))
         wall_ms = int((time.time() - t0) * 1000)
@@ -372,5 +395,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         F.sum("df").alias("sum_doc_freq"))
     stats.crossJoin(sum_df).write.mode("overwrite").parquet(cat.stats_path)
 
+    if persist_tokens:
+        docs.unpersist()
     cat.commit({"batches_run": n_run})
     return cat

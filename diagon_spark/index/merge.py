@@ -82,7 +82,10 @@ def force_merge(spark: SparkSession, cat: IndexCatalog,
                           num_segments=1, has_positions=cat.has_positions,
                           key_cols=cat.key_cols)
     postings = spark.read.parquet(cat.postings_path)
-    (postings.groupBy("bucket")
+    # explicit partition count — AQE byte-coalescing would serialize the
+    # CPU-heavy merge groups (see builder.py note)
+    (postings.repartition(cat.num_buckets, F.col("bucket"))
+     .groupBy("bucket")
      .applyInPandas(_merge_group_fn(cat.has_positions),
                     schema=POSTINGS_SCHEMA)
      .write.mode("overwrite").partitionBy("bucket")

@@ -51,6 +51,11 @@ class Searcher:
         self.sum_total_term_freq = int(srow.sum_total_term_freq or 0)
         self.deleted = np.asarray(sorted(deleted_doc_ids or []), dtype=np.int64)
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        # resolve sources once (file listing / schema inference is per-query
+        # overhead otherwise); reads stay lazy and pruned
+        self._postings_src = spark.read.parquet(catalog.postings_path)
+        self._term_dict_src = spark.read.parquet(catalog.term_dict_path)
+        self._docs_src = spark.read.parquet(catalog.docs_path)
 
     # ------------------------------------------------ stats (stage 1)
 
@@ -59,7 +64,7 @@ class Searcher:
         missing = [t for t in terms if t not in self._term_stats_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.cat.num_buckets) for t in missing})
-            rows = (self.spark.read.parquet(self.cat.term_dict_path)
+            rows = (self._term_dict_src
                     .filter(F.col("bucket").isin(buckets))
                     .filter(F.col("term").isin(missing))
                     .select("term", "df", "cttf").collect())
@@ -117,7 +122,7 @@ class Searcher:
     def _postings(self, terms: list[str], need_positions: bool) -> DataFrame:
         buckets = sorted({term_bucket(t, self.cat.num_buckets) for t in terms})
         cols = _POS_COLS if need_positions else _BASE_COLS
-        return (self.spark.read.parquet(self.cat.postings_path)
+        return (self._postings_src
                 .filter(F.col("bucket").isin(buckets))   # partition pruning
                 .filter(F.col("term").isin(list(set(terms))))  # pushed filter
                 .select("bucket", *cols))
@@ -132,7 +137,7 @@ class Searcher:
         """
         if isinstance(query, MatchAll):
             score = F.lit(float(query.boost)).cast("double")
-            return (self.spark.read.parquet(self.cat.docs_path)
+            return (self._docs_src
                     .select(F.col("doc_id"), score.alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
         if isinstance(query, Range):
@@ -148,13 +153,20 @@ class Searcher:
         banned = self.deleted
         seg_fn = _make_segment_fn(spec, params, phrase_params, k, f64, banned)
         need_pos = spec["kind"] == "phrase"
+        # explicit repartition: the scoring stage is CPU-bound per segment
+        # but tiny by bytes, so AQE's size-based coalescing would collapse
+        # it to one task; a user-specified partition count (still hashed on
+        # segment_id, so groups stay intact) keeps it parallel
+        n_part = max(1, min(self.cat.num_segments,
+                            self.spark.sparkContext.defaultParallelism * 2))
         hits = (self._postings(spec["all_terms"], need_pos)
+                .repartition(n_part, F.col("segment_id"))
                 .groupBy("segment_id")
                 .applyInPandas(seg_fn, schema=_HIT_SCHEMA))
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def _range_docs(self, query: Range) -> DataFrame:
-        docs = self.spark.read.parquet(self.cat.docs_path)
+        docs = self._docs_src
         col = F.col(query.field)
         if query.lower is not None:
             docs = docs.filter(col >= query.lower)

@@ -1,0 +1,114 @@
+"""Scaling-efficiency evidence (north_rule): run the SAME index-build job
+on the SAME input at two parallelism levels (sandbox stand-in for N vs 4N
+executors), report throughput at both + efficiency.
+
+Usage:
+  python scripts/scaling_run.py prepare <n_docs> <input_dir>   # once
+  python scripts/scaling_run.py run <cpus> <input_dir> <out>   # per level
+  python scripts/scaling_run.py report <json8> <json32>        # efficiency
+
+`run` prints one JSON line {"cpus":..,"n_docs":..,"build_sec":..,
+"docs_per_sec":..,"query_p50_ms":{...}}. Each level must run in its own
+process (Spark master fixed per JVM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"diagon-scaling-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def prepare(n_docs: int, input_dir: str) -> None:
+    from diagon_spark.corpus import corpus_df
+    spark = _spark(32)
+    corpus_df(spark, n_docs, partitions=64).write.mode("overwrite") \
+        .parquet(input_dir)
+    print(f"wrote {n_docs} docs to {input_dir}")
+    spark.stop()
+
+
+def run(cpus: int, input_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+    from diagon_spark import build_index, Searcher
+    from diagon_spark.search.query import Boolean, Phrase, Term
+
+    spark = _spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(input_dir)
+    n_docs = df.count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    cat = build_index(spark, df, out_dir, num_segments=cpus * 2,
+                      num_buckets=16, positions=True)
+    build_sec = time.time() - t0
+
+    searcher = Searcher(spark, cat)
+    qset = {
+        "single": Term("int"),
+        "and_2": Boolean(must=[Term("int"), Term("return")]),
+        "or_10": Boolean(should=[Term(t) for t in
+                                 ["int", "return", "if", "for", "while",
+                                  "const", "static", "void", "class", "def"]]),
+        "phrase": Phrase(("static", "void")),
+    }
+    lat = {}
+    for name, q in qset.items():
+        searcher.search(q, k=100).collect()  # warm
+        times = []
+        for _ in range(5):
+            t = time.time()
+            searcher.search(q, k=100).collect()
+            times.append(time.time() - t)
+        lat[name] = round(sorted(times)[len(times) // 2] * 1000, 1)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_ms": lat,
+    }))
+    spark.stop()
+
+
+def report(path8: str, path32: str) -> None:
+    a = json.loads(open(path8).read().strip().splitlines()[-1])
+    b = json.loads(open(path32).read().strip().splitlines()[-1])
+    ratio = b["cpus"] / a["cpus"]
+    eff = b["docs_per_sec"] / (ratio * a["docs_per_sec"])
+    print(json.dumps({
+        "n": a["cpus"], "4n": b["cpus"],
+        "throughput_n": a["docs_per_sec"],
+        "throughput_4n": b["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "prepare":
+        prepare(int(sys.argv[2]), sys.argv[3])
+    elif cmd == "run":
+        run(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif cmd == "report":
+        report(sys.argv[2], sys.argv[3])
+    else:
+        raise SystemExit(f"unknown command {cmd}")
