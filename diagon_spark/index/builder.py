@@ -139,19 +139,25 @@ class IndexCatalog:
         tmp.rename(cdir / f"commit_{gen}.json")  # atomic publish (segments_N)
 
 
-def _encode_segment_fn(num_buckets: int, has_positions: bool):
-    """applyInPandas over ONE SEGMENT of compact (doc_id, norm, tokens)
-    rows — the DWPT flush analogue. The token-level explode, (term, doc)
-    aggregation, term sort, and block encode all happen in numpy inside
-    the UDF, so the only shuffle in the postings build is the compact
-    per-doc segment assignment (vs. shuffling one row per token
-    occurrence, which at 10^12 files would move ~200× more bytes)."""
+def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
+                       content_col: str = "content"):
+    """applyInPandas over ONE SEGMENT of compact (doc_id, content) rows —
+    the DWPT flush analogue. Tokenization, norms, the token-level explode,
+    (term, doc) aggregation, term sort, and block encode ALL happen in
+    numpy inside the UDF. The only shuffle in the postings build carries
+    ONE string per doc and NOTHING computed runs on its map side: fusing
+    even the tokenizer UDF into the shuffle-write stage measured
+    negatively-scaling (python-worker + shuffle-writer contention), and
+    shuffling token arrays moved tens of millions of small objects through
+    UnsafeRow/Arrow/pandas boundaries."""
+
+    tok_fn = analyzer or tokenize_series
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         segment_id = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        tok_lists = pdf["tokens"].tolist()
+        tok_lists = tok_fn(pdf[content_col]).tolist()
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
         total = int(lens.sum())
@@ -160,7 +166,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool):
         terms = np.concatenate([np.asarray(t, dtype=object)
                                 for t in tok_lists if len(t)])
         docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        norms = np.repeat(pdf["norm"].to_numpy(dtype=np.int64), lens)
+        norms = np.repeat(encode_norm(lens).astype(np.int64), lens)
         # position of each token within its doc: arange minus doc start
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
@@ -187,6 +193,16 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool):
         t_starts = np.flatnonzero(new_t)
         t_ends = np.append(t_starts[1:], len(g_terms))
 
+        if has_positions:
+            # flat delta stream over the WHOLE group in one vectorized
+            # pass: first position of each (term, doc) absolute, the rest
+            # gaps — sliced per term chunk below, varint-encoded in one
+            # call per chunk (the per-doc python loop was 77% of encode CPU)
+            pos_deltas_all = np.empty_like(poss)
+            pos_deltas_all[0] = poss[0]
+            pos_deltas_all[1:] = poss[1:] - poss[:-1]
+            pos_deltas_all[td_starts] = poss[td_starts]
+
         out_rows = []
         for ts, te in zip(t_starts, t_ends):
             term = g_terms[ts]
@@ -194,15 +210,21 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool):
             t_docs = g_docs[ts:te]
             t_tfs = tfs[ts:te]
             t_norms = g_norms[ts:te]
-            if has_positions:
-                t_pos = [poss[td_starts[i]:td_ends[i]] for i in range(ts, te)]
+            t_tf_cum = np.concatenate(([0], np.cumsum(t_tfs)))
+            t_val_base = td_starts[ts]
             # chunk heavy hitters (salting): <= CHUNK_DOCS docs per row
             for ci, lo in enumerate(range(0, len(t_docs), CHUNK_DOCS)):
                 hi = min(lo + CHUNK_DOCS, len(t_docs))
+                if has_positions:
+                    v_lo = t_val_base + t_tf_cum[lo]
+                    v_hi = t_val_base + t_tf_cum[hi]
+                    chunk_pos = pos_deltas_all[v_lo:v_hi]
+                else:
+                    chunk_pos = None
                 enc = encode_term_postings(
                     t_docs[lo:hi], t_tfs[lo:hi],
                     t_norms[lo:hi].astype(np.uint8),
-                    t_pos[lo:hi] if has_positions else None)
+                    pos_deltas=chunk_pos)
                 out_rows.append({
                     "term": term,
                     "bucket": bucket,
@@ -241,7 +263,8 @@ def _tokenize_udf(analyzer=None):
 
 
 def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
-                 content_col: str, num_segments: int, analyzer=None) -> DataFrame:
+                 content_col: str, num_segments: int, analyzer=None,
+                 segment_base: int = 0) -> DataFrame:
     """Assign deterministic doc ids + segments, tokenize, norms, sha256.
 
     Deterministic doc_id (north_rule): with key_cols, docs are ordered by
@@ -254,13 +277,16 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
     if id_col is not None:
         base = df.withColumn("doc_id", F.col(id_col).cast("long"))
         base = base.withColumn(
-            "segment_id", F.pmod(F.col("doc_id"), F.lit(num_segments)).cast("int"))
+            "segment_id",
+            (F.pmod(F.col("doc_id"), F.lit(num_segments))
+             + F.lit(segment_base)).cast("int"))
     else:
         key = F.concat_ws("\x00", *[F.col(c) for c in key_cols])
         base = df.withColumn("_key_sha", F.sha2(key, 256))
         base = base.withColumn(
             "segment_id",
-            F.pmod(F.xxhash64(F.col("_key_sha")), F.lit(num_segments)).cast("int"))
+            (F.pmod(F.xxhash64(F.col("_key_sha")), F.lit(num_segments))
+             + F.lit(segment_base)).cast("int"))
         w = Window.partitionBy("segment_id").orderBy("_key_sha")
         base = base.withColumn(
             "doc_id",
@@ -285,7 +311,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 content_col: str = "content", positions: bool = True,
                 segment_batches: int = 1, max_batches: int | None = None,
                 resume: bool = False, analyzer=None,
-                persist_tokens: bool = False) -> IndexCatalog:
+                persist_tokens: bool = False, append: bool = False,
+                segment_base: int = 0) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     segment_batches > 1 splits the postings build into independent waves of
@@ -293,14 +320,20 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     checkpoint/resume granularity. `max_batches` stops early (used by the
     kill-mid-build test). `resume=True` skips segments already completed
     per the lineage table.
+
+    `append=True` + `segment_base` adds NEW segments to an existing index
+    (incremental / near-real-time ingest: each micro-batch is an epoch of
+    fresh segments, the buffer→flush→reopen cycle of the reference's NRT
+    path — index/DirectoryReader.cpp reopen semantics). Global term_dict
+    and stats are refreshed over all segments on commit.
     """
     from diagon_spark._ship import ensure_shipped
     ensure_shipped(spark)
     if key_cols is None and id_col is None:
         key_cols = ["repo", "path", "commit"]
     cat = IndexCatalog(root=out_dir, num_buckets=num_buckets,
-                       num_segments=num_segments, has_positions=positions,
-                       key_cols=key_cols or [])
+                       num_segments=segment_base + num_segments,
+                       has_positions=positions, key_cols=key_cols or [])
     root = Path(out_dir)
     root.mkdir(parents=True, exist_ok=True)
 
@@ -311,7 +344,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     # tokenizer. persist_tokens=True flips to caching for expensive
     # custom analyzers.
     docs = prepare_docs(df, key_cols, id_col, content_col, num_segments,
-                        analyzer)
+                        analyzer, segment_base)
     if persist_tokens:
         docs = docs.persist()
     keep = (key_cols or []) + ([id_col] if id_col else [])
@@ -326,7 +359,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
             done = {r.segment_id for r in
                     ldf.filter(F.col("status") == "done").select("segment_id").collect()}
 
-    all_segments = list(range(num_segments))
+    all_segments = list(range(segment_base, segment_base + num_segments))
     batches: list[list[int]] = [
         [s for s in all_segments[i::segment_batches]]
         for i in range(segment_batches)
@@ -334,7 +367,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     docs_written = resume and Path(cat.docs_path, "_SUCCESS").exists()
 
     if not docs_written:
-        docs.select(*docs_cols).write.mode("overwrite").parquet(cat.docs_path)
+        docs.select(*docs_cols).write \
+            .mode("append" if append else "overwrite").parquet(cat.docs_path)
 
     docs_idx = spark.read.parquet(cat.docs_path)  # re-read: stable doc ids
 
@@ -349,16 +383,17 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         n_run += 1
         t0 = time.time()
         if tok_docs is None:
-            tok_docs = docs.select("segment_id", "doc_id", "norm", "tokens")
+            tok_docs = docs.select("segment_id", "doc_id", F.col(content_col))
         part = tok_docs.filter(F.col("segment_id").isin(todo))
-        # ONE compact shuffle (per-doc rows) into segment groups; the
-        # token explode + FreqProx aggregation happens in numpy inside
-        # the segment UDF (DWPT flush analogue — see _encode_segment_fn).
+        # ONE compact shuffle (one content string per doc) into segment
+        # groups; tokenize + explode + FreqProx aggregation happen in
+        # numpy inside the segment UDF (DWPT flush analogue).
         # Explicit partition count = one task per segment: AQE's byte-based
         # coalescing would otherwise merge these CPU-heavy groups.
         postings = (part.repartition(len(todo), F.col("segment_id"))
                     .groupBy("segment_id").applyInPandas(
-                        _encode_segment_fn(num_buckets, positions),
+                        _encode_segment_fn(num_buckets, positions,
+                                           analyzer, content_col),
                         schema=POSTINGS_SCHEMA))
         # compact by bucket before writing: without this every segment
         # task writes one file into every bucket dir (segments × buckets

@@ -106,9 +106,40 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
 #   block_pos_off int32[] byte offset of each block in pos_blocks
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return nb
+
+
 def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
-                         positions: list[np.ndarray] | None = None) -> dict:
-    """Encode one term-chunk's postings (doc_ids must be sorted ascending)."""
+                         positions: list[np.ndarray] | None = None,
+                         pos_deltas: np.ndarray | None = None) -> dict:
+    """Encode one term-chunk's postings (doc_ids must be sorted ascending).
+
+    Positions can be given either as a per-doc list of absolute-position
+    arrays (`positions`, convenience for tests) or as one flat
+    delta-encoded array (`pos_deltas`: within each doc the first value is
+    absolute, the rest are gaps; docs concatenated in doc order — the
+    vectorized fast path used by the index builder). With pos_deltas the
+    whole chunk is varint-encoded in ONE call and per-block byte offsets
+    are derived from vectorized varint lengths."""
+    if positions is not None and pos_deltas is None:
+        parts = []
+        for p in positions:
+            p = np.asarray(p, dtype=np.int64)
+            parts.append(np.diff(p, prepend=0))
+        pos_deltas = (np.concatenate(parts) if parts
+                      else np.zeros(0, dtype=np.int64))
+    return _encode_term_postings(doc_ids, tfs, norms, pos_deltas)
+
+
+def _encode_term_postings(doc_ids, tfs, norms, pos_deltas) -> dict:
     n = len(doc_ids)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -117,16 +148,14 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
 
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
-    pos_parts: list[bytes] = []
     block_first = np.empty(nblocks, dtype=np.int64)
     block_last = np.empty(nblocks, dtype=np.int64)
     block_max_tf = np.empty(nblocks, dtype=np.int32)
     block_max_norm = np.empty(nblocks, dtype=np.int32)
     doc_off = np.zeros(nblocks, dtype=np.int32)
     tf_off = np.zeros(nblocks, dtype=np.int32)
-    pos_off = np.zeros(nblocks, dtype=np.int32)
 
-    dpos = tpos = ppos = 0
+    dpos = tpos = 0
     for bi in range(nblocks):
         lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
         docs = doc_ids[lo:hi]
@@ -142,7 +171,6 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
         block_max_norm[bi] = int(np.where(bnorms == 0, 127, bnorms).max())
         doc_off[bi] = dpos
         tf_off[bi] = tpos
-        pos_off[bi] = ppos
         if hi - lo == BLOCK:
             db = _bit_width(gaps)
             doc_parts.append(bytes([db]) + pack_bits(gaps, db))
@@ -153,14 +181,17 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
             tf_parts.append(varint_encode(btfs))
         dpos += len(doc_parts[-1])
         tpos += len(tf_parts[-1])
-        if positions is not None:
-            flat = []
-            for di in range(lo, hi):
-                p = np.asarray(positions[di], dtype=np.int64)
-                flat.append(np.diff(p, prepend=0))  # first pos absolute
-            enc = varint_encode(np.concatenate(flat) if flat else np.zeros(0, np.int64))
-            pos_parts.append(enc)
-            ppos += len(enc)
+
+    pos_blocks = None
+    pos_off = None
+    if pos_deltas is not None:
+        # one varint pass for the whole chunk; block byte offsets from
+        # vectorized per-value varint lengths
+        pos_blocks = varint_encode(pos_deltas)
+        byte_cum = np.concatenate(([0], np.cumsum(varint_lengths(pos_deltas))))
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        block_val_start = tf_cum[np.arange(nblocks) * BLOCK]
+        pos_off = byte_cum[block_val_start].astype(np.int32)
 
     return {
         "df": np.int32(n),
@@ -173,8 +204,8 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
         "block_max_norm": block_max_norm,
         "block_doc_off": doc_off,
         "block_tf_off": tf_off,
-        "pos_blocks": b"".join(pos_parts) if positions is not None else None,
-        "block_pos_off": pos_off if positions is not None else None,
+        "pos_blocks": pos_blocks,
+        "block_pos_off": pos_off,
     }
 
 

@@ -129,11 +129,15 @@ class Searcher:
 
     # ------------------------------------------------------------ search
 
-    def search(self, query: Query, k: int = 100, f64: bool = False) -> DataFrame:
+    def search(self, query: Query, k: int = 100, f64: bool = False,
+               after: tuple[float, int] | None = None) -> DataFrame:
         """Top-k hits as a DataFrame (doc_id, score), best-first.
 
         f64=True scores in float64 (ANSI-SQL-reproducible, for the DuckDB
         oracle harness); default float32 matches the reference bit-wise.
+        after=(score, doc_id) returns the next page strictly after that
+        hit in collector order — searchAfter pagination
+        (TopScoreDocCollector.h:22).
         """
         if isinstance(query, MatchAll):
             score = F.lit(float(query.boost)).cast("double")
@@ -151,7 +155,8 @@ class Searcher:
 
         spec, params, phrase_params = self._plan(query)
         banned = self.deleted
-        seg_fn = _make_segment_fn(spec, params, phrase_params, k, f64, banned)
+        seg_fn = _make_segment_fn(spec, params, phrase_params, k, f64, banned,
+                                  after)
         need_pos = spec["kind"] == "phrase"
         # explicit repartition: the scoring stage is CPU-bound per segment
         # but tiny by bytes, so AQE's size-based coalescing would collapse
@@ -241,7 +246,7 @@ def _spec_terms(spec: dict) -> list[str]:
 
 
 def _make_segment_fn(spec: dict, params: dict, phrase_params, k: int,
-                     f64: bool, banned: np.ndarray):
+                     f64: bool, banned: np.ndarray, after=None):
     """Build the per-segment applyInPandas function (pickled to executors)."""
 
     def seg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -252,14 +257,15 @@ def _make_segment_fn(spec: dict, params: dict, phrase_params, k: int,
         if spec["kind"] == "or":
             docs, scores = wand.wand_disjunction(
                 postings, params, spec["should"], k + len(banned),
-                msm=spec.get("msm", 0), f64=f64)
+                msm=spec.get("msm", 0), f64=f64, after=after)
         elif spec["kind"] == "phrase":
             docs, scores = wand.phrase(postings, phrase_params, spec["terms"],
-                                       k + len(banned), f64=f64)
+                                       k + len(banned), f64=f64, after=after)
         else:
             docs, scores = wand.conjunction(
                 postings, params, spec["must"], spec["should"],
-                spec["must_not"], spec["filter"], k + len(banned), f64=f64)
+                spec["must_not"], spec["filter"], k + len(banned), f64=f64,
+                after=after)
         if len(banned) and len(docs):
             keep = ~np.isin(docs, banned)
             docs, scores = docs[keep][:k], scores[keep][:k]

@@ -148,13 +148,26 @@ def _accumulate(cands: np.ndarray, per_term: list[tuple[np.ndarray, np.ndarray]]
     return acc, nmatch
 
 
+def _after_filter(docs: np.ndarray, scores: np.ndarray, after):
+    """searchAfter predicate: keep hits strictly after (score, doc) in
+    collector order (score desc, doc asc) — TopScoreDocCollector.h:22."""
+    if after is None or len(docs) == 0:
+        return docs, scores
+    a_score, a_doc = after
+    keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+    return docs[keep], scores[keep]
+
+
 def wand_disjunction(postings: dict[str, _SegmentPostings],
                      params: dict[str, TermScorerParams],
                      terms: list[str], k: int, msm: int = 0,
-                     f64: bool = False):
+                     f64: bool = False, after=None):
     """Pure-disjunction top-k with block-max interval pruning.
 
-    Returns (doc_ids, scores) of the local (per-segment) top-k.
+    Returns (doc_ids, scores) of the local (per-segment) top-k. `after`
+    = (score, doc_id) enables searchAfter pagination; it also seeds the
+    pruning threshold (the reference seeds minCompetitiveScore the same
+    way for deep paging).
     """
     terms = [t for t in terms if t in postings]
     if not terms:
@@ -212,6 +225,11 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
         if len(cands) == 0:
             continue
         acc, nmatch = _accumulate(cands, per_term, f64)
+        if after is not None:
+            keep = (acc < after[0]) | ((acc == after[0]) & (cands > after[1]))
+            cands, acc, nmatch = cands[keep], acc[keep], nmatch[keep]
+            if len(cands) == 0:
+                continue
         all_docs.append(cands)
         all_scores.append(acc.astype(np.float64))
         all_nmatch.append(nmatch)
@@ -236,7 +254,7 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
 def conjunction(postings: dict[str, _SegmentPostings],
                 params: dict[str, TermScorerParams],
                 must: list[str], should: list[str], must_not: list[str],
-                filters: list[str], k: int, f64: bool = False):
+                filters: list[str], k: int, f64: bool = False, after=None):
     """AND/mixed boolean: lead-term candidate pruning + block-range skip.
 
     ConjunctionScorer analogue (BooleanQuery.cpp:23-135): the rarest MUST
@@ -274,12 +292,13 @@ def conjunction(postings: dict[str, _SegmentPostings],
         m = np.isin(d, cand, assume_unique=True)
         per_term.append((d[m], params[t].score(tf[m], nn[m], f64)))
     acc, _ = _accumulate(cand, per_term, f64)
-    return _topk(cand, acc.astype(np.float64), k)
+    cand, acc = _after_filter(cand, acc.astype(np.float64), after)
+    return _topk(cand, acc, k)
 
 
 def phrase(postings: dict[str, _SegmentPostings],
            phrase_params: TermScorerParams,
-           terms: list[str], k: int, f64: bool = False):
+           terms: list[str], k: int, f64: bool = False, after=None):
     """Exact phrase slop=0 (PhraseQuery.cpp:28-225): conjunction on docID,
     then verify pos(term_i) == pos(term_0)+i; tf = #start positions."""
     if any(t not in postings for t in terms):
@@ -338,7 +357,9 @@ def phrase(postings: dict[str, _SegmentPostings],
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     docs = np.asarray(out_docs, dtype=np.int64)
     scores = phrase_params.score(np.asarray(out_freqs), np.asarray(out_norms), f64)
-    return _topk(docs, np.asarray(scores, dtype=np.float64), k)
+    docs, scores = _after_filter(docs, np.asarray(scores, dtype=np.float64),
+                                 after)
+    return _topk(docs, scores, k)
 
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int):

@@ -54,8 +54,10 @@ def run(cpus: int, input_dir: str, out_dir: str) -> None:
     n_docs = df.count()
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # IDENTICAL work at every parallelism level: fixed segment count
+    # (64 = 2x the largest level), only executor slots vary
     t0 = time.time()
-    cat = build_index(spark, df, out_dir, num_segments=cpus * 2,
+    cat = build_index(spark, df, out_dir, num_segments=64,
                       num_buckets=16, positions=True)
     build_sec = time.time() - t0
 
