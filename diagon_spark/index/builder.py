@@ -152,12 +152,13 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
     UnsafeRow/Arrow/pandas boundaries."""
 
     tok_fn = analyzer or tokenize_series
+    content_key = content_col.strip("`")  # pandas sees the unquoted name
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         segment_id = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        tok_lists = tok_fn(pdf[content_col]).tolist()
+        tok_lists = tok_fn(pdf[content_key]).tolist()
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
         total = int(lens.sum())
@@ -312,7 +313,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 segment_batches: int = 1, max_batches: int | None = None,
                 resume: bool = False, analyzer=None,
                 persist_tokens: bool = False, append: bool = False,
-                segment_base: int = 0) -> IndexCatalog:
+                segment_base: int = 0,
+                store_content: bool = True) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     segment_batches > 1 splits the postings build into independent waves of
@@ -347,7 +349,12 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                         analyzer, segment_base)
     if persist_tokens:
         docs = docs.persist()
-    keep = (key_cols or []) + ([id_col] if id_col else [])
+    # store_content=True keeps the original content in the docs table —
+    # the stored-fields (.fdt) analogue (codecs/StoredFieldsWriter.h:19-63);
+    # it also lets the postings stage read docs parquet instead of
+    # re-running the sha/window doc-id chain.
+    keep = (key_cols or []) + ([id_col] if id_col else []) \
+        + ([content_col] if store_content else [])
     docs_cols = list(dict.fromkeys(
         ["segment_id", "doc_id", *keep, "content_sha256", "doc_len", "norm"]))
 
@@ -383,7 +390,12 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         n_run += 1
         t0 = time.time()
         if tok_docs is None:
-            tok_docs = docs.select("segment_id", "doc_id", F.col(content_col))
+            # alias to a safe name: applyInPandas resolves plain column
+            # names internally, which breaks for dotted (flattened-JSON)
+            # names like `body.text`
+            src = docs_idx if store_content else docs
+            tok_docs = src.select("segment_id", "doc_id",
+                                  F.col(content_col).alias("__content"))
         part = tok_docs.filter(F.col("segment_id").isin(todo))
         # ONE compact shuffle (one content string per doc) into segment
         # groups; tokenize + explode + FreqProx aggregation happen in
@@ -393,7 +405,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         postings = (part.repartition(len(todo), F.col("segment_id"))
                     .groupBy("segment_id").applyInPandas(
                         _encode_segment_fn(num_buckets, positions,
-                                           analyzer, content_col),
+                                           analyzer, "__content"),
                         schema=POSTINGS_SCHEMA))
         # compact by bucket before writing: without this every segment
         # task writes one file into every bucket dir (segments × buckets
