@@ -84,6 +84,13 @@ def main() -> None:
     similarity.cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
     timings["knn_cosine"] = time.time() - t
 
+    def _du(path: str) -> int:
+        import pathlib
+        return sum(f.stat().st_size for f in pathlib.Path(path).rglob("*")
+                   if f.is_file())
+
+    postings_bytes = _du(cat.postings_path)
+    docs_bytes = _du(cat.docs_path)
     shutil.rmtree(out_dir, ignore_errors=True)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = sum(timings.values())
@@ -95,6 +102,8 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_bytes_per_doc": round(postings_bytes / max(n_docs, 1), 1),
+        "docs_table_bytes_per_doc": round(docs_bytes / max(n_docs, 1), 1),
         "cpus": int(CPUS),
     }))
     spark.stop()

@@ -164,8 +164,18 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
         total = int(lens.sum())
         if total == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        terms = np.concatenate([np.asarray(t, dtype=object)
-                                for t in tok_lists if len(t)])
+        from itertools import chain
+        flat_tokens = list(chain.from_iterable(tok_lists))
+        # hash-factorize token strings once (O(n)); all heavy sorting and
+        # grouping then runs on int ids — string comparisons only over the
+        # (small) per-segment vocabulary
+        codes, uniques = pd.factorize(flat_tokens, sort=False)
+        vocab_order = np.argsort(uniques)
+        rank = np.empty(len(vocab_order), dtype=np.int64)
+        rank[vocab_order] = np.arange(len(vocab_order))
+        term_ids = rank[codes]
+        sorted_vocab = uniques[vocab_order]
+
         docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
         norms = np.repeat(encode_norm(lens).astype(np.int64), lens)
         # position of each token within its doc: arange minus doc start
@@ -173,26 +183,27 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
         poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
         # sort by (term, doc, pos) — the deferred term sort of FreqProx flush
-        order = np.lexsort((poss, docs, terms))
-        terms, docs, norms, poss = terms[order], docs[order], norms[order], poss[order]
+        order = np.lexsort((poss, docs, term_ids))
+        term_ids, docs, norms, poss = (term_ids[order], docs[order],
+                                       norms[order], poss[order])
 
         # group boundaries at (term, doc) change → tf per (term, doc)
-        new_td = np.empty(len(terms), dtype=bool)
+        new_td = np.empty(len(term_ids), dtype=bool)
         new_td[0] = True
-        new_td[1:] = (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])
+        new_td[1:] = (term_ids[1:] != term_ids[:-1]) | (docs[1:] != docs[:-1])
         td_starts = np.flatnonzero(new_td)
-        td_ends = np.append(td_starts[1:], len(terms))
+        td_ends = np.append(td_starts[1:], len(term_ids))
         tfs = (td_ends - td_starts).astype(np.int64)
-        g_terms = terms[td_starts]
+        g_term_ids = term_ids[td_starts]
         g_docs = docs[td_starts]
         g_norms = norms[td_starts]
 
         # term boundaries over the (term, doc) groups
-        new_t = np.empty(len(g_terms), dtype=bool)
+        new_t = np.empty(len(g_term_ids), dtype=bool)
         new_t[0] = True
-        new_t[1:] = g_terms[1:] != g_terms[:-1]
+        new_t[1:] = g_term_ids[1:] != g_term_ids[:-1]
         t_starts = np.flatnonzero(new_t)
-        t_ends = np.append(t_starts[1:], len(g_terms))
+        t_ends = np.append(t_starts[1:], len(g_term_ids))
 
         if has_positions:
             # flat delta stream over the WHOLE group in one vectorized
@@ -206,7 +217,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
 
         out_rows = []
         for ts, te in zip(t_starts, t_ends):
-            term = g_terms[ts]
+            term = str(sorted_vocab[g_term_ids[ts]])
             bucket = term_bucket(term, num_buckets)
             t_docs = g_docs[ts:te]
             t_tfs = tfs[ts:te]

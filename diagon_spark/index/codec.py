@@ -106,6 +106,32 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
 #   block_pos_off int32[] byte offset of each block in pos_blocks
 
 
+def pack_full_blocks(mat: np.ndarray) -> list[bytes]:
+    """Pack each row of a (nblocks, BLOCK) non-negative int matrix as
+    [1B width][MSB-first packed values] — batched by distinct width so the
+    per-block python cost is one `tobytes`, not a pack_bits call.
+    Byte-identical to `bytes([w]) + pack_bits(row, w)` per row."""
+    nb = len(mat)
+    mx = mat.max(axis=1)
+    widths = np.array([int(m).bit_length() for m in mx], dtype=np.int64)
+    out: list[bytes] = [b""] * nb
+    for w in np.unique(widths):
+        sel = np.flatnonzero(widths == w)
+        if w == 0:
+            for i in sel:
+                out[i] = b"\x00"
+            continue
+        sub = mat[sel].astype(np.uint64)
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        bits = ((sub[:, :, None] >> shifts[None, None, :])
+                & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(len(sel), -1), axis=1)
+        pfx = bytes([int(w)])
+        for j, i in enumerate(sel):
+            out[i] = pfx + packed[j].tobytes()
+    return out
+
+
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Byte length of each value's LEB128 encoding (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
@@ -145,42 +171,49 @@ def _encode_term_postings(doc_ids, tfs, norms, pos_deltas) -> dict:
     tfs = np.asarray(tfs, dtype=np.int64)
     norms = np.asarray(norms, dtype=np.uint8)
     nblocks = (n + BLOCK - 1) // BLOCK
+    nfull = n // BLOCK
 
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
+    # per-block impact metadata, vectorized over full blocks
     block_first = np.empty(nblocks, dtype=np.int64)
     block_last = np.empty(nblocks, dtype=np.int64)
     block_max_tf = np.empty(nblocks, dtype=np.int32)
     block_max_norm = np.empty(nblocks, dtype=np.int32)
-    doc_off = np.zeros(nblocks, dtype=np.int32)
-    tf_off = np.zeros(nblocks, dtype=np.int32)
+    # norm byte 0 decodes to field length 1.0 exactly like 127
+    # (BM25Similarity.h:140-149), so for a sound score upper bound the
+    # impact metadata must record it as 127.
+    norm_eff = np.where(norms == 0, np.uint8(127), norms)
+    if nfull:
+        dmat = doc_ids[:nfull * BLOCK].reshape(nfull, BLOCK)
+        tmat = tfs[:nfull * BLOCK].reshape(nfull, BLOCK)
+        block_first[:nfull] = dmat[:, 0]
+        block_last[:nfull] = dmat[:, -1]
+        block_max_tf[:nfull] = tmat.max(axis=1)
+        block_max_norm[:nfull] = (norm_eff[:nfull * BLOCK]
+                                  .reshape(nfull, BLOCK).max(axis=1))
+        gaps_mat = np.empty_like(dmat)
+        gaps_mat[:, 0] = 0
+        gaps_mat[:, 1:] = dmat[:, 1:] - dmat[:, :-1]
+        doc_parts = pack_full_blocks(gaps_mat)
+        tf_parts = pack_full_blocks(tmat)
+    else:
+        doc_parts, tf_parts = [], []
+    if nblocks > nfull:  # tail block — varint, Lucene104PostingsWriter.h:231-248
+        tail_docs = doc_ids[nfull * BLOCK:]
+        tail_tfs = tfs[nfull * BLOCK:]
+        block_first[nfull] = tail_docs[0]
+        block_last[nfull] = tail_docs[-1]
+        block_max_tf[nfull] = tail_tfs.max()
+        block_max_norm[nfull] = int(norm_eff[nfull * BLOCK:].max())
+        doc_parts.append(varint_encode(
+            np.diff(tail_docs, prepend=tail_docs[0])))
+        tf_parts.append(varint_encode(tail_tfs))
 
-    dpos = tpos = 0
-    for bi in range(nblocks):
-        lo, hi = bi * BLOCK, min((bi + 1) * BLOCK, n)
-        docs = doc_ids[lo:hi]
-        btfs = tfs[lo:hi]
-        gaps = np.diff(docs, prepend=docs[0])  # gaps[0] == 0
-        block_first[bi] = docs[0]
-        block_last[bi] = docs[-1]
-        block_max_tf[bi] = btfs.max()
-        # norm byte 0 decodes to field length 1.0 exactly like 127
-        # (BM25Similarity.h:140-149), so for a sound score upper bound the
-        # impact metadata must record it as 127.
-        bnorms = norms[lo:hi]
-        block_max_norm[bi] = int(np.where(bnorms == 0, 127, bnorms).max())
-        doc_off[bi] = dpos
-        tf_off[bi] = tpos
-        if hi - lo == BLOCK:
-            db = _bit_width(gaps)
-            doc_parts.append(bytes([db]) + pack_bits(gaps, db))
-            tb = _bit_width(btfs)
-            tf_parts.append(bytes([tb]) + pack_bits(btfs, tb))
-        else:  # tail block — varint, Lucene104PostingsWriter.h:231-248
-            doc_parts.append(varint_encode(gaps))
-            tf_parts.append(varint_encode(btfs))
-        dpos += len(doc_parts[-1])
-        tpos += len(tf_parts[-1])
+    dlens = np.fromiter((len(p) for p in doc_parts), dtype=np.int64,
+                        count=nblocks)
+    tlens = np.fromiter((len(p) for p in tf_parts), dtype=np.int64,
+                        count=nblocks)
+    doc_off = np.concatenate(([0], np.cumsum(dlens)[:-1])).astype(np.int32)
+    tf_off = np.concatenate(([0], np.cumsum(tlens)[:-1])).astype(np.int32)
 
     pos_blocks = None
     pos_off = None

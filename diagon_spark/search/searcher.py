@@ -182,6 +182,17 @@ class Searcher:
                                .isin([int(d) for d in self.deleted]))
         return docs
 
+    def fetch(self, hits: DataFrame) -> DataFrame:
+        """Stored-fields fetch (StoredFieldsReader analogue): attach the
+        docs-table columns to top-k hits. The k doc ids are collected and
+        pushed into the docs scan as an IN filter (parquet row-group
+        stats skip everything else — the .fdx point-lookup analogue),
+        then a broadcast join re-attaches scores."""
+        ids = [int(r.doc_id) for r in hits.select("doc_id").collect()]
+        stored = self._docs_src.filter(F.col("doc_id").isin(ids))
+        return (stored.join(F.broadcast(hits), "doc_id", "inner")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
     def count(self, query: Query) -> int:
         """Hit count; O(1) from term_dict for a single term
         (TermQuery.cpp:312-341 Weight::count analogue). Range counts are

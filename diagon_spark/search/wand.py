@@ -173,6 +173,30 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
     if not terms:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
+    # Strategy selection (the reference picks WANDScorer vs
+    # MaxScoreBulkScorer the same way, BooleanQuery.cpp:376-480): for
+    # DENSE disjunctions — most of the segment matches — block-max
+    # pruning cannot skip much and the interval sweep's python loop
+    # dominates; bulk-decode + one vectorized accumulation wins.
+    total_df = sum(postings[t].df for t in terms)
+    firsts = [postings[t].first[0] for t in terms if len(postings[t].first)]
+    lasts = [postings[t].last[-1] for t in terms if len(postings[t].last)]
+    doc_range = (max(lasts) - min(firsts) + 1) if firsts else 1
+    if total_df >= 0.25 * doc_range or k >= total_df:
+        per_term = []
+        cand_parts = []
+        for t in terms:
+            d, tf, nn = postings[t].decode_all()
+            per_term.append((d, params[t].score(tf, nn, f64)))
+            cand_parts.append(d)
+        cands = np.unique(np.concatenate(cand_parts))
+        acc, nmatch = _accumulate(cands, per_term, f64)
+        if msm > 1:
+            keep = nmatch >= msm
+            cands, acc = cands[keep], acc[keep]
+        cands, acc = _after_filter(cands, acc.astype(np.float64), after)
+        return _topk(cands, acc, k)
+
     # per-term block upper bounds (vectorized impact math)
     ubs, starts_all, ends_all = [], [], []
     for t in terms:
@@ -314,49 +338,47 @@ def phrase(postings: dict[str, _SegmentPostings],
     if len(cand) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
-    # per unique term: map candidate doc -> positions
-    pos_maps: dict[str, dict[int, np.ndarray]] = {}
-    for t in set(terms):
+    # Vectorized position verification: flatten each term's (doc, pos)
+    # pairs over the candidates into composite keys
+    # (dense-candidate-index << 32 | position); a phrase start survives
+    # term i iff key+i exists in term i's key set — one np.isin per term
+    # instead of a python loop per candidate doc
+    # (PhraseQuery.cpp:28-225 restated batch-style).
+    lo, hi = int(cand.min()), int(cand.max())
+    keys: dict[str, np.ndarray] = {}
+    norm_docs, norm_vals = [], []
+    for t in dict.fromkeys(terms):
         sp = postings[t]
-        m: dict[int, np.ndarray] = {}
-        bsel = np.flatnonzero((sp.first <= cand.max()) & (sp.last >= cand.min()))
+        dl, pl = [], []
+        bsel = np.flatnonzero((sp.first <= hi) & (sp.last >= lo))
         for b in bsel:
             d, tf, nn, pos = sp.decode_block(int(b), want_positions=True)
-            sel = np.flatnonzero(np.isin(d, cand, assume_unique=True))
-            for i in sel:
-                m[int(d[i])] = pos[i]
-        pos_maps[t] = m
+            m = np.isin(d, cand, assume_unique=True)
+            if not m.any():
+                continue
+            sel = np.flatnonzero(m)
+            dl.append(np.repeat(d[sel], np.asarray(tf)[sel]))
+            pl.append(np.concatenate([pos[i] for i in sel]))
+            if t == terms[0]:
+                norm_docs.append(d[sel])
+                norm_vals.append(nn[sel])
+        if not dl:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        idx = np.searchsorted(cand, np.concatenate(dl)).astype(np.int64)
+        keys[t] = (idx << np.int64(32)) + np.concatenate(pl)
 
-    out_docs, out_freqs, out_norms = [], [], []
-    norms_map: dict[int, int] = {}
-    sp0 = postings[terms[0]]
-    bsel = np.flatnonzero((sp0.first <= cand.max()) & (sp0.last >= cand.min()))
-    for b in bsel:
-        d, tf, nn = sp0.decode_block(int(b))
-        for dd, n in zip(d, nn):
-            norms_map[int(dd)] = int(n)
-    for doc in cand:
-        doc = int(doc)
-        starts = pos_maps[terms[0]].get(doc)
-        if starts is None:
-            continue
-        ok = starts
-        for i, t in enumerate(terms[1:], start=1):
-            p = pos_maps[t].get(doc)
-            if p is None:
-                ok = ok[:0]
-                break
-            ok = ok[np.isin(ok + i, p)]
-            if len(ok) == 0:
-                break
-        if len(ok):
-            out_docs.append(doc)
-            out_freqs.append(len(ok))
-            out_norms.append(norms_map[doc])
-    if not out_docs:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
-    docs = np.asarray(out_docs, dtype=np.int64)
-    scores = phrase_params.score(np.asarray(out_freqs), np.asarray(out_norms), f64)
+    surv = keys[terms[0]]
+    for i, t in enumerate(terms[1:], start=1):
+        surv = surv[np.isin(surv + np.int64(i), keys[t])]
+        if len(surv) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    doc_idx, freqs = np.unique(surv >> np.int64(32), return_counts=True)
+    docs = cand[doc_idx]
+    nd = np.concatenate(norm_docs)
+    nv = np.concatenate(norm_vals)
+    norms = nv[np.searchsorted(nd, docs)]
+    scores = phrase_params.score(freqs, norms, f64)
     docs, scores = _after_filter(docs, np.asarray(scores, dtype=np.float64),
                                  after)
     return _topk(docs, scores, k)
