@@ -124,6 +124,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = _searcher(spark, sf).count(Term(SINGLE_TERM))
         return spark.range(1).select(F.lit(n).cast("long").alias("n"))
 
+    def range_doclen_count(spark, sf):
+        from diagon_spark.search.query import Range
+        n = _searcher(spark, sf).count(Range("doc_len", 30, 60))
+        return spark.range(1).select(F.lit(n).cast("long").alias("n"))
+
+    def term_bm25_page2(spark, sf):
+        s = _searcher(spark, sf)
+        page1 = s.search(Term(SINGLE_TERM), k=50, f64=True).collect()
+        after = (float(page1[-1].score), int(page1[-1].doc_id))
+        return _rounded(s.search(Term(SINGLE_TERM), k=50, f64=True,
+                                 after=after))
+
     def match_all(spark, sf):
         s = _searcher(spark, sf)
         return s.search(MatchAll(), k=100).select(
@@ -208,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_bm25": msm_bm25,
         "phrase_bm25": phrase_bm25,
         "term_count": term_count,
+        "range_doclen_count": range_doclen_count,
+        "term_bm25_page2": term_bm25_page2,
         "match_all": match_all,
         "range_count_chars": range_count_chars,
         "events_range_count": events_range_count,
@@ -434,6 +448,12 @@ def oracle_sql() -> dict[str, str]:
         "phrase_bm25": _phrase_sql(PHRASE),
         "term_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM tf WHERE term = '{SINGLE_TERM}'""",
+        "range_doclen_count": f"""WITH {_TOK_CTE}
+SELECT COUNT(*) AS n FROM docs_n WHERE n BETWEEN 30 AND 60""",
+        "term_bm25_page2": f"""WITH {_TOK_CTE}, {_scores_cte([SINGLE_TERM])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores GROUP BY doc_id
+) ORDER BY total DESC, doc_id ASC LIMIT 50 OFFSET 50""",
         "match_all": """SELECT doc_id, 1.0 AS score FROM documents
 ORDER BY doc_id ASC LIMIT 100""",
         "range_count_chars": ("SELECT COUNT(*) AS n FROM documents "

@@ -23,11 +23,16 @@ from diagon_spark.index.builder import (CHUNK_DOCS, IndexCatalog,
 from diagon_spark.index.codec import decode_all, encode_term_postings
 
 
-def _merge_group_fn(has_positions: bool):
+def _merge_group_fn(has_positions: bool, num_segments: int,
+                    tombstones: np.ndarray):
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
+        # old segment -> merged segment (docBase-remap analogue; doc ids
+        # themselves are global so only the grouping changes)
+        pdf = pdf.assign(_new_seg=pdf["segment_id"] % num_segments)
         out_rows = []
-        for term, grp in pdf.groupby("term", sort=False):
+        for (new_seg, term), grp in pdf.groupby(["_new_seg", "term"],
+                                                sort=False):
             docs_l, tfs_l, norms_l, pos_l = [], [], [], []
             for rec in grp.to_dict("records"):
                 if has_positions:
@@ -42,7 +47,11 @@ def _merge_group_fn(has_positions: bool):
             tfs = np.concatenate(tfs_l)
             norms = np.concatenate(norms_l)
             order = np.argsort(docs, kind="stable")
+            if len(tombstones):  # purge deleted docs for good (live-docs
+                order = order[~np.isin(docs[order], tombstones)]
             docs, tfs, norms = docs[order], tfs[order], norms[order]
+            if len(docs) == 0:
+                continue
             positions = [pos_l[i] for i in order] if has_positions else None
             for ci, lo in enumerate(range(0, len(docs), CHUNK_DOCS)):
                 hi = min(lo + CHUNK_DOCS, len(docs))
@@ -50,7 +59,7 @@ def _merge_group_fn(has_positions: bool):
                     docs[lo:hi], tfs[lo:hi], norms[lo:hi].astype(np.uint8),
                     positions[lo:hi] if has_positions else None)
                 out_rows.append({
-                    "term": term, "bucket": bucket, "segment_id": 0,
+                    "term": term, "bucket": bucket, "segment_id": int(new_seg),
                     "chunk": ci, "df": int(enc["df"]),
                     "ttf": int(tfs[lo:hi].sum()),
                     "doc_blocks": enc["doc_blocks"],
@@ -72,31 +81,55 @@ def _merge_group_fn(has_positions: bool):
     return merge
 
 
-def force_merge(spark: SparkSession, cat: IndexCatalog,
-                out_dir: str) -> IndexCatalog:
-    """Merge all segments into one (forceMerge(1)) under out_dir."""
+def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
+                   num_segments: int = 1) -> IndexCatalog:
+    """Merge/compact to `num_segments` segments under out_dir, purging
+    tombstoned docs (the TieredMergePolicy compaction step; num_segments=1
+    is forceMerge(1)). term_dict/stats are recomputed post-purge so the
+    merged index scores like a freshly-built one."""
     from diagon_spark._ship import ensure_shipped
+    from diagon_spark.index.deletes import load_deleted_ids
     ensure_shipped(spark)
 
+    tombstones = np.asarray(sorted(load_deleted_ids(spark, cat)),
+                            dtype=np.int64)
     merged = IndexCatalog(root=out_dir, num_buckets=cat.num_buckets,
-                          num_segments=1, has_positions=cat.has_positions,
+                          num_segments=num_segments,
+                          has_positions=cat.has_positions,
                           key_cols=cat.key_cols)
     postings = spark.read.parquet(cat.postings_path)
     # explicit partition count — AQE byte-coalescing would serialize the
     # CPU-heavy merge groups (see builder.py note)
     (postings.repartition(cat.num_buckets, F.col("bucket"))
      .groupBy("bucket")
-     .applyInPandas(_merge_group_fn(cat.has_positions),
+     .applyInPandas(_merge_group_fn(cat.has_positions, num_segments,
+                                    tombstones),
                     schema=POSTINGS_SCHEMA)
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(merged.postings_path))
-    # docs / dictionary / stats are segment-invariant — copy through
     docs = spark.read.parquet(cat.docs_path) \
-        .withColumn("segment_id", F.lit(0))
+        .withColumn("segment_id",
+                    F.pmod(F.col("segment_id"), F.lit(num_segments))
+                    .cast("int"))
+    if len(tombstones):
+        docs = docs.filter(~F.col("doc_id").isin([int(t) for t in tombstones]))
     docs.write.mode("overwrite").parquet(merged.docs_path)
-    spark.read.parquet(cat.term_dict_path).write.mode("overwrite") \
-        .parquet(merged.term_dict_path)
-    spark.read.parquet(cat.stats_path).write.mode("overwrite") \
-        .parquet(merged.stats_path)
-    merged.commit({"merged_from": cat.root})
+    mp = spark.read.parquet(merged.postings_path)
+    (mp.groupBy("term", "bucket")
+     .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf"))
+     .write.mode("overwrite").parquet(merged.term_dict_path))
+    docs_idx = spark.read.parquet(merged.docs_path)
+    stats = docs_idx.agg(F.count("*").alias("max_doc"),
+                         F.count("*").alias("doc_count"),
+                         F.sum("doc_len").alias("sum_total_term_freq"))
+    sum_df = spark.read.parquet(merged.term_dict_path).agg(
+        F.sum("df").alias("sum_doc_freq"))
+    stats.crossJoin(sum_df).write.mode("overwrite").parquet(merged.stats_path)
+    merged.commit({"merged_from": cat.root, "purged": int(len(tombstones))})
     return merged
+
+
+def force_merge(spark: SparkSession, cat: IndexCatalog,
+                out_dir: str) -> IndexCatalog:
+    """Merge all segments into one (forceMerge(1)) under out_dir."""
+    return merge_segments(spark, cat, out_dir, num_segments=1)

@@ -49,7 +49,12 @@ class Searcher:
         srow = spark.read.parquet(catalog.stats_path).collect()[0]
         self.max_doc = int(srow.max_doc)
         self.sum_total_term_freq = int(srow.sum_total_term_freq or 0)
-        self.deleted = np.asarray(sorted(deleted_doc_ids or []), dtype=np.int64)
+        # live-docs mask: explicit ids + the index's durable tombstone table
+        from diagon_spark.index.deletes import load_deleted_ids
+        tombstones = load_deleted_ids(spark, catalog)
+        self.deleted = np.asarray(
+            sorted(set(deleted_doc_ids or []) | set(tombstones)),
+            dtype=np.int64)
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
         # resolve sources once (file listing / schema inference is per-query
         # overhead otherwise); reads stay lazy and pruned
