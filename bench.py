@@ -73,6 +73,19 @@ def main() -> None:
             best = min(best, time.time() - t)
         timings[name] = best
 
+    # serving-path latencies: same index, same kernels, no Spark job
+    # (the mmap-IndexSearcher analogue — search/local_reader.py)
+    from diagon_spark.search.local_reader import LocalSearcher
+    ls = LocalSearcher(cat)
+    for name, q in qset.items():
+        ls.search(q, k=100)  # warm
+        best = float("inf")
+        for _ in range(REPEAT):
+            t = time.time()
+            ls.search(q, k=100)
+            best = min(best, time.time() - t)
+        timings[f"local_{name}"] = best
+
     t = time.time()
     dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, band_size=2).count()
     timings["minhash_lsh"] = time.time() - t

@@ -34,13 +34,21 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
 
 
 def unpack_bits(buf: bytes | np.ndarray, bits: int, n: int) -> np.ndarray:
-    """Inverse of pack_bits -> int64 array of length n."""
+    """Inverse of pack_bits -> int64 array of length n.
+
+    Shift-accumulate over bit columns (≤ bits vectorized passes) — an
+    int64 matmul here would hit numpy's non-BLAS fallback and run ~10×
+    slower; this loop is the scalar-code-friendly decode in the spirit of
+    the FastLanes observation (decode as a few full-width vector ops)."""
     if bits == 0:
         return np.zeros(n, dtype=np.int64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    flat = np.unpackbits(raw, count=n * bits).astype(np.int64)
-    weights = (np.int64(1) << np.arange(bits - 1, -1, -1, dtype=np.int64))
-    return flat.reshape(n, bits) @ weights
+    flat = np.unpackbits(raw, count=n * bits).reshape(n, bits)
+    out = flat[:, 0].astype(np.int64)
+    for j in range(1, bits):
+        out <<= 1
+        out |= flat[:, j]
+    return out
 
 
 def _bit_width(values: np.ndarray) -> int:
@@ -278,17 +286,37 @@ def decode_block(row: dict, bi: int, want_positions: bool = False):
     if not want_positions:
         return docs, tfs, norms
 
+    flat = _decode_flat_positions(row, bi, nblocks, tfs)
+    # split by tf: positions of doc i are its slice of the flat stream
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    positions = [flat[bounds[i]:bounds[i + 1]] for i in range(count)]
+    return docs, tfs, norms, positions
+
+
+def _decode_flat_positions(row: dict, bi: int, nblocks: int,
+                           tfs: np.ndarray) -> np.ndarray:
+    """Absolute positions of block bi as ONE flat array (doc-concatenated),
+    via a vectorized segmented cumsum — no per-doc python loop."""
     pbuf = np.frombuffer(row["pos_blocks"], dtype=np.uint8)
     poff = row["block_pos_off"]
     pend = int(poff[bi + 1]) if bi + 1 < nblocks else len(pbuf)
-    flat = varint_decode(pbuf[int(poff[bi]):pend]).astype(np.int64)
-    # split by tf: positions of doc i are cumsum within its slice
-    bounds = np.concatenate(([0], np.cumsum(tfs)))
-    positions = []
-    for i in range(count):
-        seg = flat[bounds[i]:bounds[i + 1]]
-        positions.append(np.cumsum(seg))
-    return docs, tfs, norms, positions
+    d = varint_decode(pbuf[int(poff[bi]):pend]).astype(np.int64)
+    if len(d) == 0:
+        return d
+    cs = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    offsets = cs[starts] - d[starts]  # running sum before each doc's start
+    return cs - np.repeat(offsets, tfs)
+
+
+def decode_block_flat(row: dict, bi: int):
+    """Decode block bi -> (docs, tfs, norms, flat_positions) where
+    flat_positions concatenates each doc's absolute positions in doc
+    order (len == tfs.sum()). The phrase scorer's fast path."""
+    docs, tfs, norms = decode_block(row, bi, want_positions=False)
+    nblocks = (int(row["df"]) + BLOCK - 1) // BLOCK
+    flat = _decode_flat_positions(row, bi, nblocks, tfs)
+    return docs, tfs, norms, flat
 
 
 def decode_all(row: dict, want_positions: bool = False):

@@ -104,6 +104,14 @@ class _SegmentPostings:
             self._cache[key] = codec.decode_block(self.rows[ri], bi, want_positions)
         return self._cache[key]
 
+    def decode_block_flat(self, b: int):
+        """(docs, tfs, norms, flat absolute positions) — phrase fast path."""
+        key = (b, "flat")
+        if key not in self._cache:
+            ri, bi = self.block_index[b]
+            self._cache[key] = codec.decode_block_flat(self.rows[ri], bi)
+        return self._cache[key]
+
     def decode_all(self, want_positions: bool = False):
         outs = [self.decode_block(b, want_positions)
                 for b in range(len(self.block_index))]
@@ -352,16 +360,16 @@ def phrase(postings: dict[str, _SegmentPostings],
         dl, pl = [], []
         bsel = np.flatnonzero((sp.first <= hi) & (sp.last >= lo))
         for b in bsel:
-            d, tf, nn, pos = sp.decode_block(int(b), want_positions=True)
+            d, tf, nn, flat = sp.decode_block_flat(int(b))
             m = np.isin(d, cand, assume_unique=True)
             if not m.any():
                 continue
-            sel = np.flatnonzero(m)
-            dl.append(np.repeat(d[sel], np.asarray(tf)[sel]))
-            pl.append(np.concatenate([pos[i] for i in sel]))
+            tf = np.asarray(tf)
+            dl.append(np.repeat(d[m], tf[m]))
+            pl.append(flat[np.repeat(m, tf)])
             if t == terms[0]:
-                norm_docs.append(d[sel])
-                norm_vals.append(nn[sel])
+                norm_docs.append(d[m])
+                norm_vals.append(nn[m])
         if not dl:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         idx = np.searchsorted(cand, np.concatenate(dl)).astype(np.int64)

@@ -1,0 +1,66 @@
+"""LocalSearcher (pyarrow serving path) must be result-identical to the
+Spark Searcher on every query kind, and fast (no Spark job)."""
+
+import time
+
+import pytest
+
+from diagon_spark import build_index, Searcher
+from diagon_spark.corpus import corpus_df, VOCAB
+from diagon_spark.search.local_reader import LocalSearcher
+from diagon_spark.search.query import Boolean, Phrase, Term
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lr"))
+    df = corpus_df(spark, 400, partitions=4)
+    cat = build_index(spark, df, out, num_segments=4, num_buckets=8,
+                      positions=True)
+    return Searcher(spark, cat), LocalSearcher(cat)
+
+
+QS = [
+    Term("int"),
+    Term("var_30"),
+    Boolean(should=[Term(t) for t in VOCAB[:10]]),
+    Boolean(should=[Term(t) for t in VOCAB[:5]], min_should_match=2),
+    Boolean(must=[Term("int"), Term("return")]),
+    Boolean(must=[Term("int")], must_not=[Term("while")]),
+    Boolean(must=[Term("int")], filter=[Term("return")]),
+    Phrase(("static", "void")),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QS)))
+def test_local_equals_spark(pair, qi):
+    s_spark, s_local = pair
+    want = [(r.doc_id, r.score) for r in s_spark.search(QS[qi], k=50).collect()]
+    got = s_local.search(QS[qi], k=50)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+
+
+def test_local_count(pair):
+    s_spark, s_local = pair
+    assert s_local.count(Term("int")) == s_spark.count(Term("int"))
+
+
+def test_local_is_fast(pair):
+    _, s_local = pair
+    q = Boolean(should=[Term(t) for t in VOCAB[:10]])
+    s_local.search(q, k=100)  # warm (dataset discovery)
+    t0 = time.time()
+    for _ in range(5):
+        s_local.search(q, k=100)
+    per_query = (time.time() - t0) / 5
+    assert per_query < 0.25, f"local path too slow: {per_query:.3f}s"
+
+
+def test_local_respects_deletes(pair):
+    s_spark, s_local = pair
+    top2 = [d for d, _ in s_local.search(Term("int"), k=2)]
+    s_del = LocalSearcher(s_local.cat, deleted_doc_ids=top2)
+    after = [d for d, _ in s_del.search(Term("int"), k=5)]
+    assert not set(top2) & set(after)
