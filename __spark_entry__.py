@@ -200,6 +200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=12,
                                        max_hamming=3, exclude_id=0)
 
+    def sparse_topk(spark, sf):
+        from diagon_spark.pipelines import sparse
+        postings = sparse.build_value_postings(_docs(spark, sf))
+        return sparse.sparse_topk(postings,
+                                  {"data": 2.0, "table": 1.0, "window": 1.5},
+                                  k=20)
+
     def blob_meta(spark, sf):
         return multimodal.blob_metadata(multimodal.to_blob(_docs(spark, sf)))
 
@@ -236,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash,
         "knn_cosine": knn_cosine,
         "ann_lsh": ann_lsh,
+        "sparse_topk": sparse_topk,
         "blob_meta": blob_meta,
         "decode_image_fake": decode_image_fake,
         "frame_sample": frame_sample,
@@ -504,6 +512,20 @@ FROM documents GROUP BY md5(text)""",
         "minhash_lsh": _minhash_sql(16, 2),
         "simhash": _simhash_sql(32),
         "knn_cosine": _KNN_SQL,
+        "sparse_topk": f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+vp AS (
+  SELECT tf.term, tf.doc_id,
+         tf.tf * LN(1.0 + (CAST(s.max_doc AS DOUBLE) - dfq.df + 0.5)
+                    / (dfq.df + 0.5)) AS weight
+  FROM tf JOIN dfq USING(term) CROSS JOIN stats s
+),
+q AS (SELECT * FROM (VALUES ('data', 2.0), ('table', 1.0),
+                            ('window', 1.5)) AS t(term, q_w))
+SELECT doc_id, ROUND(dot, 6) AS score FROM (
+  SELECT vp.doc_id, SUM(q.q_w * vp.weight) AS dot
+  FROM vp JOIN q USING(term) GROUP BY vp.doc_id
+) ORDER BY dot DESC, doc_id ASC LIMIT 20""",
         # ann_lsh: approximate variant, hyperplane projections not
         # SQL-expressible — rows-only check (intentional).
         "blob_meta": """SELECT doc_id,

@@ -165,7 +165,8 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
         if total == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         from itertools import chain
-        flat_tokens = list(chain.from_iterable(tok_lists))
+        flat_tokens = np.fromiter(chain.from_iterable(tok_lists),
+                                  dtype=object, count=total)
         # hash-factorize token strings once (O(n)); all heavy sorting and
         # grouping then runs on int ids — string comparisons only over the
         # (small) per-segment vocabulary
