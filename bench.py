@@ -37,6 +37,7 @@ def main() -> None:
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
+             .config("spark.python.worker.reuse", "false")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

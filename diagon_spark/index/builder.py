@@ -18,6 +18,10 @@ block-encoded postings + norms + stored) → atomic commit. Here:
   >50% of docs;
 * atomic publish = staged write + manifest commit file (the parquet/
   Iceberg-snapshot analogue of segments_N, index/IndexWriter.cpp:208-247);
+* recommended session config for builds: spark.python.worker.reuse=false —
+  the encode tasks run seconds each and long-lived python workers degrade
+  ~60% over sequential heavy tasks (allocator growth); worker spawn cost
+  is noise at this task granularity;
 * **segment-granular resume**: a `lineage` table records per segment-batch
   (fingerprint, status, n_docs, n_postings, wall_ms); on resume, completed
   segments are skipped (north_rule checkpoint requirement).

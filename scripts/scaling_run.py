@@ -30,6 +30,10 @@ def _spark(cpus: int):
             .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "48g")
+            # fresh python worker per task: long-lived workers degrade
+            # ~60% across sequential heavy encode tasks (allocator/heap
+            # growth); spawn cost is negligible vs seconds-long tasks
+            .config("spark.python.worker.reuse", "false")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
