@@ -1,0 +1,63 @@
+"""Edge cases mirrored from QueryEdgeCasesTest: empty documents,
+single-token docs, unknown terms, k=0-ish boundaries."""
+
+import pandas as pd
+import pytest
+
+from diagon_spark import build_index, Searcher
+from diagon_spark.search.query import Boolean, MatchAll, Range, Term
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["", "   ", "single", "alpha beta gamma",
+                 "alpha alpha alpha", "!!! ??? ..."],
+    })
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path_factory.mktemp("edge") / "idx"),
+                      num_segments=2, num_buckets=2, id_col="doc_id",
+                      content_col="text", positions=True)
+    return Searcher(spark, cat)
+
+
+def test_empty_docs_counted_not_matched(spark, searcher):
+    # empty/punct-only docs exist (match_all) but match no term
+    assert searcher.count(MatchAll()) == 6
+    assert searcher.count(Term("alpha")) == 2
+    docs = spark.read.parquet(searcher.cat.docs_path).collect()
+    by_id = {r.doc_id: r for r in docs}
+    assert by_id[0].doc_len == 0 and by_id[0].norm == 127  # empty -> 127
+    assert by_id[5].doc_len == 0  # punctuation-only
+
+
+def test_single_token_doc_norm(spark, searcher):
+    docs = {r.doc_id: r for r in
+            spark.read.parquet(searcher.cat.docs_path).collect()}
+    assert docs[2].doc_len == 1 and docs[2].norm == 127  # len 1 -> 127
+
+
+def test_repeated_term_tf(searcher):
+    hits = searcher.search(Term("alpha"), k=10).collect()
+    # doc 4 (tf=3, len 3) must outrank doc 3 (tf=1, len 3)
+    assert hits[0].doc_id == 4
+    assert hits[1].doc_id == 3
+
+
+def test_unknown_term_boolean(searcher):
+    assert searcher.search(Boolean(must=[Term("alpha"), Term("zzz")]),
+                           k=5).count() == 0
+    got = searcher.search(Boolean(should=[Term("alpha"), Term("zzz")]),
+                          k=5).count()
+    assert got == 2  # OR with a missing clause still matches the other
+
+
+def test_k_one(searcher):
+    hits = searcher.search(Term("alpha"), k=1).collect()
+    assert len(hits) == 1 and hits[0].doc_id == 4
+
+
+def test_range_open_bounds(searcher):
+    assert searcher.count(Range("doc_len", lower=1)) == 3
+    assert searcher.count(Range("doc_len", upper=0)) == 3
