@@ -154,7 +154,7 @@ class LocalSearcher:
                 d, s = wand.conjunction(
                     postings, params, spec["must"], spec["should"],
                     spec["must_not"], spec["filter"], k + len(banned),
-                    f64=f64, after=after)
+                    f64=f64, after=after, msm=spec.get("msm", 0))
             if len(banned) and len(d):
                 keep = ~np.isin(d, banned)
                 d, s = d[keep], s[keep]

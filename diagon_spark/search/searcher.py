@@ -281,7 +281,7 @@ def _make_segment_fn(spec: dict, params: dict, phrase_params, k: int,
             docs, scores = wand.conjunction(
                 postings, params, spec["must"], spec["should"],
                 spec["must_not"], spec["filter"], k + len(banned), f64=f64,
-                after=after)
+                after=after, msm=spec.get("msm", 0))
         if len(banned) and len(docs):
             keep = ~np.isin(docs, banned)
             docs, scores = docs[keep][:k], scores[keep][:k]

@@ -286,7 +286,8 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
 def conjunction(postings: dict[str, _SegmentPostings],
                 params: dict[str, TermScorerParams],
                 must: list[str], should: list[str], must_not: list[str],
-                filters: list[str], k: int, f64: bool = False, after=None):
+                filters: list[str], k: int, f64: bool = False, after=None,
+                msm: int = 0):
     """AND/mixed boolean: lead-term candidate pruning + block-range skip.
 
     ConjunctionScorer analogue (BooleanQuery.cpp:23-135): the rarest MUST
@@ -295,14 +296,25 @@ def conjunction(postings: dict[str, _SegmentPostings],
     """
     if any(t not in postings for t in must):
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
-    order = sorted(must, key=lambda t: postings[t].df)
-    lead = order[0]
-    cand, _, _ = postings[lead].decode_all()
-    for t in order[1:]:
-        if len(cand) == 0:
-            break
-        d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))
-        cand = np.intersect1d(cand, d, assume_unique=True)
+    if must:
+        order = sorted(must, key=lambda t: postings[t].df)
+        cand, _, _ = postings[order[0]].decode_all()
+        for t in order[1:]:
+            if len(cand) == 0:
+                break
+            d, _, _ = postings[t].docs_in_range(int(cand.min()),
+                                                int(cand.max()))
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    elif should:
+        # no required clauses: candidates = union of optional matches
+        # (a boolean needs >=1 positive clause to match, Query semantics)
+        parts = [postings[t].decode_all()[0] for t in should
+                 if t in postings]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = np.unique(np.concatenate(parts))
+    else:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
     for t in filters:
         if t not in postings or len(cand) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -316,6 +328,7 @@ def conjunction(postings: dict[str, _SegmentPostings],
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     per_term = []
+    n_should = np.zeros(len(cand), dtype=np.int32)
     lo, hi = int(cand.min()), int(cand.max())
     for t in [*must, *should]:  # clause order for float32 accumulation
         if t not in postings:
@@ -323,7 +336,13 @@ def conjunction(postings: dict[str, _SegmentPostings],
         d, tf, nn = postings[t].docs_in_range(lo, hi)
         m = np.isin(d, cand, assume_unique=True)
         per_term.append((d[m], params[t].score(tf[m], nn[m], f64)))
+        if t in should:
+            idx = np.searchsorted(cand, d[m])
+            n_should[idx] += 1
     acc, _ = _accumulate(cand, per_term, f64)
+    if msm > 1 and should:  # minShouldMatch over SHOULD clauses
+        keep = n_should >= msm
+        cand, acc = cand[keep], acc[keep]
     cand, acc = _after_filter(cand, acc.astype(np.float64), after)
     return _topk(cand, acc, k)
 

@@ -61,3 +61,35 @@ def test_k_one(searcher):
 def test_range_open_bounds(searcher):
     assert searcher.count(Range("doc_len", lower=1)) == 3
     assert searcher.count(Range("doc_len", upper=0)) == 3
+
+
+def test_should_with_must_not_no_must(searcher):
+    """Boolean(should + must_not) without MUST clauses (regression: this
+    crashed with an IndexError on the empty lead-term list)."""
+    q = Boolean(should=[Term("alpha"), Term("beta")], must_not=[Term("gamma")])
+    hits = searcher.search(q, k=10).collect()
+    ids = [r.doc_id for r in hits]
+    assert 4 in ids          # alpha-only doc kept
+    assert 3 not in ids      # contains gamma -> banned
+    # oracle cross-check
+    from diagon_spark.oracle import OracleIndex
+    oracle = OracleIndex({0: "", 1: "   ", 2: "single",
+                          3: "alpha beta gamma", 4: "alpha alpha alpha",
+                          5: "!!! ??? ..."})
+    or_hits = dict(oracle.search_or(["alpha", "beta"], 10))
+    banned = set(oracle.postings.get("gamma", {}))
+    expect = sorted(((d, s) for d, s in or_hits.items() if d not in banned),
+                    key=lambda kv: (-kv[1], kv[0]))
+    assert ids == [d for d, _ in expect]
+
+
+def test_mixed_bool_min_should_match(searcher):
+    """MUST + SHOULD with minimumNumberShouldMatch over SHOULD clauses."""
+    q = Boolean(must=[Term("alpha")], should=[Term("beta"), Term("gamma")],
+                min_should_match=2)
+    ids = [r.doc_id for r in searcher.search(q, k=10).collect()]
+    assert ids == [3]  # only doc 3 has alpha AND both beta+gamma
+    q1 = Boolean(must=[Term("alpha")], should=[Term("beta"), Term("gamma")],
+                 min_should_match=0)
+    ids1 = [r.doc_id for r in searcher.search(q1, k=10).collect()]
+    assert set(ids1) == {3, 4}
