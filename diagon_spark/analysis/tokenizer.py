@@ -29,8 +29,11 @@ import pandas as pd
 _ASCII_TOKEN = re.compile(r"[A-Za-z0-9][A-Za-z0-9']*")
 _IS_ASCII = re.compile(r"^[\x00-\x7f]*$")
 
-# Unicode fallback (ICU stand-in): letters/digits runs incl. apostrophe
-_UNI_TOKEN = re.compile(r"[^\W_]['\w]*", re.UNICODE)
+# Unicode fallback (ICU stand-in): letters/digits runs incl. apostrophe.
+# Underscore is a separator (as in the ASCII path) — [^\W_] excludes it
+# from both the start and continuation classes so 'foo_bar' tokenizes the
+# same whether or not the row contains non-ASCII characters elsewhere.
+_UNI_TOKEN = re.compile(r"[^\W_](?:[^\W_]|')*", re.UNICODE)
 
 
 def tokenize(text: str) -> list[str]:

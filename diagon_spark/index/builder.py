@@ -117,11 +117,32 @@ class IndexCatalog:
         return f"{self.root}/lineage"
 
     @staticmethod
-    def load(root: str) -> "IndexCatalog":
-        commits = sorted(Path(root, "_commits").glob("commit_*.json"))
+    def _gen_of(p: Path) -> int:
+        return int(p.stem.split("_")[-1])
+
+    @staticmethod
+    def list_commits(root: str) -> list:
+        """Commit files sorted by generation (numeric — commit_10 follows
+        commit_9, not commit_1)."""
+        return sorted(Path(root, "_commits").glob("commit_*.json"),
+                      key=IndexCatalog._gen_of)
+
+    @staticmethod
+    def load(root: str, generation: int | None = None) -> "IndexCatalog":
+        """Open the index at its latest commit point, or at an older
+        `generation` — the IndexCommit/rollback-to-commit-point analogue
+        (index/IndexWriter.h:251 rollback, DirectoryReader open-at-commit)."""
+        commits = IndexCatalog.list_commits(root)
         if not commits:
             raise FileNotFoundError(f"no commit point under {root}/_commits")
-        meta = json.loads(commits[-1].read_text())
+        if generation is not None:
+            by_gen = {IndexCatalog._gen_of(p): p for p in commits}
+            if generation not in by_gen:
+                raise FileNotFoundError(
+                    f"no commit generation {generation} under {root}")
+            meta = json.loads(by_gen[generation].read_text())
+        else:
+            meta = json.loads(commits[-1].read_text())
         return IndexCatalog(root=root, **{k: meta[k] for k in
                                           ("num_buckets", "num_segments",
                                            "has_positions", "key_cols")})
@@ -129,7 +150,8 @@ class IndexCatalog:
     def commit(self, extra: dict | None = None) -> None:
         cdir = Path(self.root, "_commits")
         cdir.mkdir(parents=True, exist_ok=True)
-        gen = len(list(cdir.glob("commit_*.json")))
+        existing = IndexCatalog.list_commits(self.root)
+        gen = (IndexCatalog._gen_of(existing[-1]) + 1) if existing else 0
         meta = {
             "num_buckets": self.num_buckets,
             "num_segments": self.num_segments,
@@ -345,7 +367,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 resume: bool = False, analyzer=None,
                 persist_tokens: bool = False, append: bool = False,
                 segment_base: int = 0,
-                store_content: bool = True) -> IndexCatalog:
+                store_content: bool = True,
+                commit_extra: dict | None = None) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     segment_batches > 1 splits the postings build into independent waves of
@@ -369,6 +392,17 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                        has_positions=positions, key_cols=key_cols or [])
     root = Path(out_dir)
     root.mkdir(parents=True, exist_ok=True)
+
+    if not append and not resume:
+        # Fresh build into an existing out_dir: the postings write below is
+        # mode('append') (needed for segment waves within one run), so stale
+        # postings/lineage/tombstones from a previous index at this path
+        # must be cleared or they double df/cttf and return phantom hits.
+        import shutil
+        for sub in ("postings", "lineage", "deleted"):
+            p = root / sub
+            if p.exists():
+                shutil.rmtree(p)
 
     # Tokenization feeds both the docs table and the postings build.
     # Deterministic recompute (persist_tokens=False, default) measured
@@ -475,5 +509,5 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
 
     if persist_tokens:
         docs.unpersist()
-    cat.commit({"batches_run": n_run})
+    cat.commit({"batches_run": n_run, **(commit_extra or {})})
     return cat

@@ -146,8 +146,11 @@ class Searcher:
         """
         if isinstance(query, MatchAll):
             score = F.lit(float(query.boost)).cast("double")
-            return (self._docs_src
-                    .select(F.col("doc_id"), score.alias("score"))
+            docs = self._docs_src
+            if len(self.deleted):  # live-docs mask (same as _range_docs)
+                docs = docs.filter(~F.col("doc_id")
+                                   .isin([int(d) for d in self.deleted]))
+            return (docs.select(F.col("doc_id"), score.alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
         if isinstance(query, Range):
             # constant-score range over docs-table doc values; Catalyst +

@@ -13,11 +13,22 @@ The Spark restatement maps one micro-batch to one commit epoch:
 the batch-job-with-streaming-bookkeeping idiom; a continuous trigger keeps
 the index live. Searchers opened after a commit see it atomically
 (IndexCatalog.load picks the highest commit generation — the reopen).
+
+Exactly-once publish on top of foreachBatch's at-least-once delivery:
+each epoch's batch_id is recorded in the commit metadata; a replayed
+epoch that already committed is skipped, and a replay of an epoch that
+failed mid-write first scrubs that epoch's segment rows from docs/
+postings/lineage (segment ids are epoch-determined, so the partial rows
+are identifiable) before re-appending. On Iceberg the scrub would be a
+snapshot rollback instead of a filter-rewrite.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import json
+from pathlib import Path
+
+from pyspark.sql import SparkSession, functions as F
 
 from diagon_spark.index.builder import IndexCatalog, build_index
 
@@ -37,12 +48,20 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        epoch = int(batch_id)
+        if epoch in committed_epochs(out_dir):
+            return  # at-least-once replay of a published epoch: no-op
+        base = epoch * segments_per_batch
+        exists = _exists(out_dir)
+        if exists:
+            _scrub_partial_epoch(batch_df.sparkSession, out_dir,
+                                 base, base + segments_per_batch)
         build_index(
             batch_df.sparkSession, batch_df, out_dir,
             num_segments=segments_per_batch, num_buckets=num_buckets,
             key_cols=key_cols, id_col=id_col, content_col=content_col,
-            positions=positions, append=batch_id > 0 or _exists(out_dir),
-            segment_base=int(batch_id) * segments_per_batch)
+            positions=positions, append=exists,
+            segment_base=base, commit_extra={"stream_epoch": epoch})
 
     stream = (spark.readStream.schema(schema).parquet(source_dir))
     writer = (stream.writeStream
@@ -53,6 +72,44 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
     return writer.start()
 
 
+def committed_epochs(out_dir: str) -> set[int]:
+    """Stream epochs already published in some commit generation."""
+    if not _exists(out_dir):
+        return set()
+    out = set()
+    for p in IndexCatalog.list_commits(out_dir):
+        meta = json.loads(p.read_text())
+        if "stream_epoch" in meta:
+            out.add(int(meta["stream_epoch"]))
+    return out
+
+
+def _scrub_partial_epoch(spark: SparkSession, out_dir: str,
+                         seg_lo: int, seg_hi: int) -> None:
+    """Remove rows of a partially-written (uncommitted) epoch so the retry
+    is idempotent. Rare path: only runs when a previous attempt of this
+    epoch died between its first append and its commit."""
+    import shutil
+    for sub, part_by in (("docs", None), ("postings", "bucket"),
+                         ("lineage", None)):
+        p = Path(out_dir, sub)
+        if not p.exists():
+            continue
+        df = spark.read.parquet(str(p))
+        cond = ((F.col("segment_id") >= seg_lo)
+                & (F.col("segment_id") < seg_hi))
+        if df.filter(cond).limit(1).count() == 0:
+            continue
+        tmp = Path(str(p) + ".retry_tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        w = df.filter(~cond).write.mode("overwrite")
+        if part_by:
+            w = w.partitionBy(part_by)
+        w.parquet(str(tmp))
+        shutil.rmtree(p)
+        tmp.rename(p)
+
+
 def _exists(out_dir: str) -> bool:
-    from pathlib import Path
     return Path(out_dir, "_commits").exists()
