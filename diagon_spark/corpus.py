@@ -99,6 +99,11 @@ def generate_pandas(start: int, end: int) -> pd.DataFrame:
 
 def corpus_df(spark, n_rows: int, partitions: int | None = None):
     """Distributed deterministic corpus as a Spark DataFrame."""
+    # ship BEFORE defining the UDF: pyspark snapshots the registered
+    # py-files into the python command at UDF creation time, so a later
+    # addPyFile can't fix an already-defined mapInPandas
+    from diagon_spark._ship import ensure_shipped
+    ensure_shipped(spark)
     parts = partitions or max(1, min(64, n_rows // 2000 or 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -7,11 +7,15 @@ block-encoded postings + norms + stored) → atomic commit. Here:
 * one **segment = one shuffle partition group**; DWPT assignment =
   `pmod(hash(key), num_segments)`;
 * FreqProx accumulation = `posexplode` + one shuffle into
-  `(segment_id, bucket)` groups; term sort deferred to the encode UDF
+  `(segment_id, field)` groups; term sort deferred to the encode UDF
   (numpy lexsort) exactly like the reference defers sorting to flush
   (index/FreqProxTermsWriter.h:32);
 * posting-block encode (delta+bitpack+varint) in an Arrow-batched
   applyInPandas — see index/codec.py;
+* **multi-field documents** (document/Field.h:24, index/FieldInfo.h:127-230):
+  every postings/term_dict row carries a `field` column; norms, doc
+  lengths and collection stats are per-field; one (segment, field) pair =
+  one encode task, so fields add parallelism, not serialization;
 * heavy-hitter terms are **chunked/salted**: a term's postings within a
   segment split into rows of <= CHUNK_DOCS docs, so no single parquet row
   or query-side group explodes on terms like "int"/"return" that occur in
@@ -24,24 +28,36 @@ block-encoded postings + norms + stored) → atomic commit. Here:
   is noise at this task granularity;
 * **segment-granular resume**: a `lineage` table records per segment-batch
   (fingerprint, status, n_docs, n_postings, wall_ms); on resume, completed
-  segments are skipped (north_rule checkpoint requirement).
+  segments are skipped (north_rule checkpoint requirement);
+* **incremental stats maintenance**: `append=True` aggregates term_dict /
+  stats over the NEW segments only and merge-adds into the existing
+  tables (both are additive sums) — a streaming micro-batch never rescans
+  old postings (the reference's per-segment FieldStats that are summed at
+  read time, index/SegmentInfos analogue).
 
 Index tables written under `out_dir`:
   docs/       per-doc: segment_id, doc_id, key cols…, content_sha256,
-              doc_len, norm  (this *is* the stored-fields/.nvd analogue)
-  postings/   partitioned by bucket: term chunks w/ binary blocks + impacts
-  term_dict/  term → global df, cttf (the .tim/.tip analogue)
-  stats/      collection stats (maxDoc, sumTotalTermFreq, sumDocFreq)
+              per-field doc_len__f / norm__f (+ doc_len/norm aliases of
+              the default field)  (stored-fields/.nvd analogue)
+  postings/   partitioned by bucket: (field, term) chunks w/ binary blocks
+  term_dict/  (field, term) → global df, cttf (the .tim/.tip analogue)
+  stats/      per-field collection stats (maxDoc, sumTotalTermFreq, …)
   lineage/    per-segment build lineage + metrics
   _commits/   manifest JSONs; highest N = current commit point
+
+Parquet bloom filters are enabled on the `term` column of postings/
+term_dict (writer option) so term point-lookups skip row groups that
+dictionary/min-max stats can't exclude — the granule-skip analogue of the
+reference's bloom index (SURVEY §2.3).
 """
 
 from __future__ import annotations
 
 import json
+import re
 import time
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 from pathlib import Path
 from typing import Iterable
 
@@ -60,12 +76,33 @@ CHUNK_DOCS = 16384  # max docs per postings row (salting of heavy hitters)
 DOC_ID_SEGMENT_SHIFT = 40  # doc_id = segment_id << 40 | local_id
 
 
-def term_bucket(term: str, num_buckets: int) -> int:
-    """Python-side bucket — must match the Spark-side expression below."""
-    return zlib.crc32(term.encode("utf-8")) % num_buckets
+def term_bucket(term: str, num_buckets: int, field: str) -> int:
+    """Python-side bucket — postings/term_dict partition key. Hashes
+    (field, term) so one term indexed under many fields spreads across
+    buckets."""
+    key = field.encode("utf-8") + b"\x00" + term.encode("utf-8")
+    return zlib.crc32(key) % num_buckets
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote a column name (dotted flattened-JSON names)."""
+    return "`" + name.strip("`") + "`"
+
+
+def _field_name(col: str) -> str:
+    return col.strip("`")
+
+
+def doc_len_col(field: str) -> str:
+    return f"doc_len__{field}"
+
+
+def norm_col(field: str) -> str:
+    return f"norm__{field}"
 
 
 POSTINGS_SCHEMA = StructType([
+    StructField("field", StringType()),
     StructField("term", StringType()),
     StructField("bucket", IntegerType()),
     StructField("segment_id", IntegerType()),
@@ -85,6 +122,22 @@ POSTINGS_SCHEMA = StructType([
     StructField("block_pos_off", ArrayType(IntegerType())),
 ])
 
+# parquet bloom filters on the term point-lookup column (granule skip
+# beyond min-max/dictionary stats — SURVEY §2.3 bloom row). Bloom size is
+# ~1.3 B per expected distinct value per row group; 4096 keeps the
+# fixed overhead ~5 KB/row-group (noise at scale, honest at sandbox
+# scale). On a 100 TB corpus set expected.ndv to the per-bucket
+# vocabulary estimate (e.g. 10^5-10^6) via the bloom_ndv build knob.
+DEFAULT_BLOOM_NDV = 4096
+_BLOOM_OPTS = {"parquet.bloom.filter.enabled#term": "true",
+               "parquet.bloom.filter.expected.ndv#term":
+                   str(DEFAULT_BLOOM_NDV)}
+
+
+def bloom_opts(ndv: int = DEFAULT_BLOOM_NDV) -> dict:
+    return {"parquet.bloom.filter.enabled#term": "true",
+            "parquet.bloom.filter.expected.ndv#term": str(int(ndv))}
+
 
 @dataclass
 class IndexCatalog:
@@ -95,6 +148,11 @@ class IndexCatalog:
     num_segments: int
     has_positions: bool
     key_cols: list[str]
+    fields: list[str] = dc_field(default_factory=lambda: ["content"])
+
+    @property
+    def default_field(self) -> str:
+        return self.fields[0]
 
     @property
     def docs_path(self) -> str:
@@ -130,7 +188,7 @@ class IndexCatalog:
     @staticmethod
     def load(root: str, generation: int | None = None) -> "IndexCatalog":
         """Open the index at its latest commit point, or at an older
-        `generation` — the IndexCommit/rollback-to-commit-point analogue
+        `generation` — the IndexCommit/open-at-commit-point analogue
         (index/IndexWriter.h:251 rollback, DirectoryReader open-at-commit)."""
         commits = IndexCatalog.list_commits(root)
         if not commits:
@@ -143,9 +201,11 @@ class IndexCatalog:
             meta = json.loads(by_gen[generation].read_text())
         else:
             meta = json.loads(commits[-1].read_text())
-        return IndexCatalog(root=root, **{k: meta[k] for k in
-                                          ("num_buckets", "num_segments",
-                                           "has_positions", "key_cols")})
+        return IndexCatalog(
+            root=root,
+            fields=list(meta.get("fields") or ["content"]),
+            **{k: meta[k] for k in ("num_buckets", "num_segments",
+                                    "has_positions", "key_cols")})
 
     def commit(self, extra: dict | None = None) -> None:
         cdir = Path(self.root, "_commits")
@@ -157,6 +217,7 @@ class IndexCatalog:
             "num_segments": self.num_segments,
             "has_positions": self.has_positions,
             "key_cols": self.key_cols,
+            "fields": self.fields,
             "ts": time.time(),
             **(extra or {}),
         }
@@ -165,30 +226,49 @@ class IndexCatalog:
         tmp.rename(cdir / f"commit_{gen}.json")  # atomic publish (segments_N)
 
 
-def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
-                       content_col: str = "content"):
-    """applyInPandas over ONE SEGMENT of compact (doc_id, content) rows —
-    the DWPT flush analogue. Tokenization, norms, the token-level explode,
-    (term, doc) aggregation, term sort, and block encode ALL happen in
-    numpy inside the UDF. The only shuffle in the postings build carries
-    ONE string per doc and NOTHING computed runs on its map side: fusing
-    even the tokenizer UDF into the shuffle-write stage measured
-    negatively-scaling (python-worker + shuffle-writer contention), and
-    shuffling token arrays moved tens of millions of small objects through
-    UnsafeRow/Arrow/pandas boundaries."""
+def _swap_write(df: DataFrame, path: str, partition_by: str | None = None,
+                options: dict | None = None) -> None:
+    """Overwrite a table that the plan may be reading from: stage to
+    `<path>.swap`, then atomically swap directories. (On object stores /
+    Iceberg this is a snapshot commit instead of a rename.)"""
+    import shutil
+    tmp = path + ".swap"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    if Path(path).exists():
+        shutil.rmtree(path)
+    Path(tmp).rename(path)
+
+
+def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
+    """applyInPandas over ONE (segment, field) group of compact
+    (doc_id, __content) rows — the DWPT flush analogue. Tokenization,
+    norms, the token-level explode, (term, doc) aggregation, term sort,
+    and block encode ALL happen in numpy inside the UDF. The only shuffle
+    in the postings build carries ONE string per (doc, field) and NOTHING
+    computed runs on its map side: fusing even the tokenizer UDF into the
+    shuffle-write stage measured negatively-scaling (python-worker +
+    shuffle-writer contention), and shuffling token arrays moved tens of
+    millions of small objects through UnsafeRow/Arrow/pandas boundaries."""
 
     # default path tokenizes to BYTES (no python str churn; only the
     # per-segment vocabulary is decoded); custom analyzers use str lists
     from diagon_spark.analysis.tokenizer import tokenize_series_bytes
     tok_fn = analyzer or tokenize_series_bytes
     bytes_tokens = analyzer is None
-    content_key = content_col.strip("`")  # pandas sees the unquoted name
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         segment_id = int(key[0])
+        fld = str(key[1])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        tok_lists = tok_fn(pdf[content_key]).tolist()
+        tok_lists = tok_fn(pdf["__content"]).tolist()
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
         total = int(lens.sum())
@@ -250,7 +330,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
         for ts, te in zip(t_starts, t_ends):
             v = sorted_vocab[g_term_ids[ts]]
             term = v.decode("utf-8") if bytes_tokens else str(v)
-            bucket = term_bucket(term, num_buckets)
+            bucket = term_bucket(term, num_buckets, fld)
             t_docs = g_docs[ts:te]
             t_tfs = tfs[ts:te]
             t_norms = g_norms[ts:te]
@@ -270,6 +350,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None,
                     t_norms[lo:hi].astype(np.uint8),
                     pos_deltas=chunk_pos)
                 out_rows.append({
+                    "field": fld,
                     "term": term,
                     "bucket": bucket,
                     "segment_id": segment_id,
@@ -307,9 +388,10 @@ def _tokenize_udf(analyzer=None):
 
 
 def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
-                 content_col: str, num_segments: int, analyzer=None,
+                 field_cols: list[str], num_segments: int, analyzer=None,
                  segment_base: int = 0) -> DataFrame:
-    """Assign deterministic doc ids + segments, tokenize, norms, sha256.
+    """Assign deterministic doc ids + segments, per-field doc_len/norm,
+    content sha256.
 
     Deterministic doc_id (north_rule): with key_cols, docs are ordered by
     sha256(key) inside their hash-assigned segment and numbered — identical
@@ -317,7 +399,7 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
     index/SegmentMerger.cpp:45-63). With id_col, the given unique id is
     used as-is and the segment derives from it.
     """
-    tok = _tokenize_udf(analyzer)
+    default_col = field_cols[0]
     if id_col is not None:
         base = df.withColumn("doc_id", F.col(id_col).cast("long"))
         base = base.withColumn(
@@ -345,31 +427,59 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
         @F.pandas_udf(IntegerType())
         def doc_len_udf(texts: pd.Series) -> pd.Series:
             return pd.Series(count_tokens_series(texts).astype(np.int32))
-
-        base = base.withColumn("doc_len", doc_len_udf(F.col(content_col)))
     else:
-        base = base.withColumn("tokens", tok(F.col(content_col)))
-        base = base.withColumn("doc_len", F.size("tokens"))
-    base = base.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+        @F.pandas_udf(IntegerType())
+        def doc_len_udf(texts: pd.Series) -> pd.Series:  # noqa: F811
+            return pd.Series(analyzer(texts).map(len).astype(np.int32))
 
     @F.pandas_udf(IntegerType())
     def norm_udf(lengths: pd.Series) -> pd.Series:
         return pd.Series(encode_norm(lengths.to_numpy()).astype(np.int32))
 
-    return base.withColumn("norm", norm_udf(F.col("doc_len")))
+    for col in field_cols:
+        fname = _field_name(col)
+        base = base.withColumn(doc_len_col(fname), doc_len_udf(F.col(col)))
+        base = base.withColumn(norm_col(fname),
+                               norm_udf(F.col(_bq(doc_len_col(fname)))))
+    # back-compat aliases for the default field
+    base = base.withColumn("doc_len",
+                           F.col(_bq(doc_len_col(_field_name(default_col)))))
+    base = base.withColumn("norm",
+                           F.col(_bq(norm_col(_field_name(default_col)))))
+    # per-row invariant (north_rule): single-field content_sha256 ==
+    # sha256(content) of the source row; multi-field hashes the NUL-joined
+    # field values
+    if len(field_cols) == 1:
+        base = base.withColumn("content_sha256",
+                               F.sha2(F.col(field_cols[0]), 256))
+    else:
+        base = base.withColumn(
+            "content_sha256",
+            F.sha2(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"),
+                                                    F.lit(""))
+                                         for c in field_cols]), 256))
+    return base
 
 
 def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
                 num_segments: int = 8, num_buckets: int = 16,
                 key_cols: list[str] | None = None, id_col: str | None = None,
-                content_col: str = "content", positions: bool = True,
+                content_col: str = "content",
+                fields: list[str] | None = None,
+                positions: bool = True,
                 segment_batches: int = 1, max_batches: int | None = None,
                 resume: bool = False, analyzer=None,
                 persist_tokens: bool = False, append: bool = False,
                 segment_base: int = 0,
                 store_content: bool = True,
-                commit_extra: dict | None = None) -> IndexCatalog:
+                commit_extra: dict | None = None,
+                bloom_ndv: int = DEFAULT_BLOOM_NDV) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
+
+    `fields` lists the document columns to index, each as its own field
+    with per-field postings/norms/stats (document/Field.h:24 multi-field
+    semantics); default is the single `content_col`. The FIRST entry is
+    the index's default field for unqualified queries.
 
     segment_batches > 1 splits the postings build into independent waves of
     segments, each atomically appended + recorded in lineage — the
@@ -380,16 +490,21 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     `append=True` + `segment_base` adds NEW segments to an existing index
     (incremental / near-real-time ingest: each micro-batch is an epoch of
     fresh segments, the buffer→flush→reopen cycle of the reference's NRT
-    path — index/DirectoryReader.cpp reopen semantics). Global term_dict
-    and stats are refreshed over all segments on commit.
+    path — index/DirectoryReader.cpp reopen semantics). term_dict and
+    stats are maintained incrementally: only the new segments are
+    aggregated and merge-added (additive sums) — no rescan of old
+    postings.
     """
     from diagon_spark._ship import ensure_shipped
     ensure_shipped(spark)
     if key_cols is None and id_col is None:
         key_cols = ["repo", "path", "commit"]
+    field_cols = list(fields) if fields else [content_col]
+    field_names = [_field_name(c) for c in field_cols]
     cat = IndexCatalog(root=out_dir, num_buckets=num_buckets,
                        num_segments=segment_base + num_segments,
-                       has_positions=positions, key_cols=key_cols or [])
+                       has_positions=positions, key_cols=key_cols or [],
+                       fields=field_names)
     root = Path(out_dir)
     root.mkdir(parents=True, exist_ok=True)
 
@@ -410,18 +525,21 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     # columns costs more in memory/GC than re-running the vectorized
     # tokenizer. persist_tokens=True flips to caching for expensive
     # custom analyzers.
-    docs = prepare_docs(df, key_cols, id_col, content_col, num_segments,
+    docs = prepare_docs(df, key_cols, id_col, field_cols, num_segments,
                         analyzer, segment_base)
     if persist_tokens:
         docs = docs.persist()
-    # store_content=True keeps the original content in the docs table —
-    # the stored-fields (.fdt) analogue (codecs/StoredFieldsWriter.h:19-63);
-    # it also lets the postings stage read docs parquet instead of
-    # re-running the sha/window doc-id chain.
+    # store_content=True keeps the original field columns in the docs
+    # table — the stored-fields (.fdt) analogue
+    # (codecs/StoredFieldsWriter.h:19-63); it also lets the postings stage
+    # read docs parquet instead of re-running the sha/window doc-id chain.
     keep = (key_cols or []) + ([id_col] if id_col else []) \
-        + ([content_col] if store_content else [])
+        + (field_cols if store_content else [])
+    per_field_cols = [c for fn_ in field_names
+                      for c in (doc_len_col(fn_), norm_col(fn_))]
     docs_cols = list(dict.fromkeys(
-        ["segment_id", "doc_id", *keep, "content_sha256", "doc_len", "norm"]))
+        ["segment_id", "doc_id", *keep, "content_sha256",
+         *per_field_cols, "doc_len", "norm"]))
 
     done: set[int] = set()
     if resume:
@@ -439,10 +557,12 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
     docs_written = resume and Path(cat.docs_path, "_SUCCESS").exists()
 
     if not docs_written:
-        docs.select(*docs_cols).write \
+        docs.select(*[F.col(_bq(c)) for c in docs_cols]).write \
             .mode("append" if append else "overwrite").parquet(cat.docs_path)
 
     docs_idx = spark.read.parquet(cat.docs_path)  # re-read: stable doc ids
+    new_docs_idx = (docs_idx.filter(F.col("segment_id") >= segment_base)
+                    if append else docs_idx)
 
     tok_docs = None  # lazily recompute tokens only if some batch runs
     n_run = 0
@@ -455,59 +575,178 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         n_run += 1
         t0 = time.time()
         if tok_docs is None:
-            # alias to a safe name: applyInPandas resolves plain column
-            # names internally, which breaks for dotted (flattened-JSON)
-            # names like `body.text`
+            # one row per (doc, field): the shuffle carries the field's
+            # content string under a fixed safe alias (applyInPandas
+            # resolves plain names internally, which breaks for dotted
+            # flattened-JSON names like `body.text`)
             src = docs_idx if store_content else docs
-            tok_docs = src.select("segment_id", "doc_id",
-                                  F.col(content_col).alias("__content"))
+            fstructs = [F.struct(F.lit(fn_).alias("field"),
+                                 F.col(c).cast("string").alias("__content"))
+                        for fn_, c in zip(field_names, field_cols)]
+            tok_docs = (src.select("segment_id", "doc_id",
+                                   F.explode(F.array(*fstructs)).alias("fc"))
+                        .select("segment_id", "doc_id",
+                                F.col("fc.field").alias("field"),
+                                F.col("fc.__content").alias("__content")))
         part = tok_docs.filter(F.col("segment_id").isin(todo))
-        # ONE compact shuffle (one content string per doc) into segment
-        # groups; tokenize + explode + FreqProx aggregation happen in
-        # numpy inside the segment UDF (DWPT flush analogue).
-        # Explicit partition count = one task per segment: AQE's byte-based
-        # coalescing would otherwise merge these CPU-heavy groups.
-        postings = (part.repartition(len(todo), F.col("segment_id"))
-                    .groupBy("segment_id").applyInPandas(
-                        _encode_segment_fn(num_buckets, positions,
-                                           analyzer, "__content"),
+        # ONE compact shuffle (one content string per doc-field) into
+        # (segment, field) groups; tokenize + explode + FreqProx
+        # aggregation happen in numpy inside the UDF (DWPT flush analogue).
+        # Explicit partition count = one task per (segment, field): AQE's
+        # byte-based coalescing would otherwise merge these CPU-heavy
+        # groups.
+        n_groups = len(todo) * len(field_names)
+        postings = (part.repartition(n_groups, F.col("segment_id"),
+                                     F.col("field"))
+                    .groupBy("segment_id", "field").applyInPandas(
+                        _encode_segment_fn(num_buckets, positions, analyzer),
                         schema=POSTINGS_SCHEMA))
         # compact by bucket before writing: without this every segment
         # task writes one file into every bucket dir (segments × buckets
         # small files); the shuffle moves already-encoded compact bytes
-        (postings.repartition(num_buckets, F.col("bucket"))
-         .write.mode("append")
-         .partitionBy("bucket")
-         .parquet(cat.postings_path))
+        w = (postings.repartition(num_buckets, F.col("bucket"))
+             .write.mode("append"))
+        for k_, v_ in bloom_opts(bloom_ndv).items():
+            w = w.option(k_, v_)
+        w.partitionBy("bucket").parquet(cat.postings_path)
         wall_ms = int((time.time() - t0) * 1000)
 
         # lineage rows (fingerprint = sum of crc32 of doc keys per segment)
+        total_len = None
+        for fn_ in field_names:
+            c = F.col(_bq(doc_len_col(fn_)))
+            total_len = c if total_len is None else total_len + c
         lineage = (docs_idx.filter(F.col("segment_id").isin(todo))
                    .groupBy("segment_id")
                    .agg(F.count("*").alias("n_docs"),
                         F.sum(F.crc32(F.col("content_sha256"))).alias("input_fingerprint"),
-                        F.sum("doc_len").alias("n_postings"))
+                        F.sum(total_len).alias("n_postings"))
                    .withColumn("status", F.lit("done"))
                    .withColumn("wall_ms", F.lit(wall_ms))
                    .withColumn("batch", F.lit(bi))
                    .withColumn("ts", F.current_timestamp()))
         lineage.write.mode("append").parquet(cat.lineage_path)
 
-    # term dictionary + collection stats (global merge = one shuffle agg;
-    # the k-way SegmentMerger heap is Spark's sort-merge shuffle)
-    pdf = spark.read.parquet(cat.postings_path)
-    (pdf.groupBy("term", "bucket")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf"))
-        .write.mode("overwrite").parquet(cat.term_dict_path))
-    stats = docs_idx.agg(
-        F.count("*").alias("max_doc"),
-        F.count("*").alias("doc_count"),
-        F.sum("doc_len").alias("sum_total_term_freq"))
-    sum_df = spark.read.parquet(cat.term_dict_path).agg(
-        F.sum("df").alias("sum_doc_freq"))
-    stats.crossJoin(sum_df).write.mode("overwrite").parquet(cat.stats_path)
+    _refresh_term_dict_and_stats(spark, cat, field_names,
+                                 docs_idx=docs_idx,
+                                 new_docs_idx=new_docs_idx,
+                                 append=append, segment_base=segment_base)
 
     if persist_tokens:
         docs.unpersist()
     cat.commit({"batches_run": n_run, **(commit_extra or {})})
     return cat
+
+
+def rollback(spark: SparkSession, root: str, generation: int
+             ) -> IndexCatalog:
+    """Roll the index back to an older commit point — the
+    IndexWriter::rollback / open-at-IndexCommit analogue
+    (index/IndexWriter.h:251). Segments appended after that commit are
+    physically dropped (segment ids are monotone across append epochs, so
+    the cut is `segment_id < old.num_segments`), tombstones referencing
+    dropped docs are pruned, term_dict/stats are recomputed, and a NEW
+    commit generation publishes the rolled-back state atomically."""
+    import shutil
+    old = IndexCatalog.load(root, generation)
+    cut = old.num_segments
+    for sub, part_by in (("docs", None), ("postings", "bucket"),
+                         ("deleted", None), ("lineage", None)):
+        p = Path(root, sub)
+        if not p.exists():
+            continue
+        df = spark.read.parquet(str(p))
+        if df.filter(F.col("segment_id") >= cut).limit(1).count() == 0:
+            continue
+        _swap_write(df.filter(F.col("segment_id") < cut), str(p),
+                    partition_by=part_by,
+                    options=_BLOOM_OPTS if sub == "postings" else None)
+    docs_idx = spark.read.parquet(old.docs_path)
+    _refresh_term_dict_and_stats(spark, old, old.fields, docs_idx=docs_idx,
+                                 new_docs_idx=docs_idx, append=False,
+                                 segment_base=0)
+    old.commit({"rolled_back_to": generation})
+    return old
+
+
+def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
+                                 field_names: list[str], *,
+                                 docs_idx: DataFrame,
+                                 new_docs_idx: DataFrame,
+                                 append: bool, segment_base: int) -> None:
+    """Term dictionary + per-field collection stats.
+
+    Fresh build: one global shuffle agg over all postings (the k-way
+    SegmentMerger heap is Spark's sort-merge shuffle). Append: aggregate
+    ONLY the new segments (parquet pushdown on segment_id skips old
+    row groups) and merge-add into the existing tables — df/cttf/sttf are
+    additive, so incremental maintenance is exact.
+    """
+    pdf = spark.read.parquet(cat.postings_path)
+    if append:
+        pdf = pdf.filter(F.col("segment_id") >= segment_base)
+    new_td = (pdf.groupBy("field", "term", "bucket")
+              .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf")))
+    td_exists = Path(cat.term_dict_path).exists()
+    if append and td_exists:
+        old_td = spark.read.parquet(cat.term_dict_path)
+        merged = (old_td.unionByName(new_td)
+                  .groupBy("field", "term", "bucket")
+                  .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf")))
+        _swap_write(merged, cat.term_dict_path, options=_BLOOM_OPTS)
+    else:
+        w = new_td.write.mode("overwrite")
+        for k_, v_ in _BLOOM_OPTS.items():
+            w = w.option(k_, v_)
+        w.parquet(cat.term_dict_path)
+
+    # per-field stats: (field, max_doc, doc_count, sum_total_term_freq,
+    # sum_doc_freq). max_doc/doc_count are global doc counts (the
+    # reference pins docCount := maxDoc, TermQuery.cpp:220-223).
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.col(_bq(doc_len_col(fn_)))).alias(f"__s_{i}")
+        for i, fn_ in enumerate(field_names)]
+    row = new_docs_idx.agg(*aggs).collect()[0]
+    n_new = int(row["__n"])
+    sttf_new = {fn_: int(row[f"__s_{i}"] or 0)
+                for i, fn_ in enumerate(field_names)}
+    sdf_rows = (spark.read.parquet(cat.term_dict_path)
+                .groupBy("field").agg(F.sum("df").alias("sdf")).collect())
+    sum_doc_freq = {r.field: int(r.sdf) for r in sdf_rows}
+
+    old_stats: dict[str, dict] = {}
+    if append and Path(cat.stats_path).exists():
+        for r in spark.read.parquet(cat.stats_path).collect():
+            old_stats[r.field] = r.asDict()
+    rows = []
+    for fn_ in field_names:
+        prev = old_stats.get(fn_, {})
+        rows.append((
+            fn_,
+            int(prev.get("max_doc", 0)) + n_new,
+            int(prev.get("doc_count", 0)) + n_new,
+            int(prev.get("sum_total_term_freq", 0)) + sttf_new[fn_],
+            sum_doc_freq.get(fn_, 0),
+        ))
+    # carry forward stats of fields not in this append wave
+    for fn_, prev in old_stats.items():
+        if fn_ not in field_names:
+            rows.append((fn_, int(prev["max_doc"]) + n_new,
+                         int(prev["doc_count"]) + n_new,
+                         int(prev["sum_total_term_freq"]),
+                         sum_doc_freq.get(fn_, 0)))
+    # build the (tiny) stats table JVM-side: createDataFrame(list) would
+    # parallelize into defaultParallelism PYTHON partitions — with
+    # spark.python.worker.reuse=false (the recommended build config) a
+    # coalesced write then spawns one python worker per partition,
+    # serially (~9 s of pure overhead measured at local[32])
+    stats_df = None
+    for fn_, md, dc, sttf, sdf_ in rows:
+        one = spark.range(1).select(
+            F.lit(fn_).alias("field"),
+            F.lit(int(md)).cast("long").alias("max_doc"),
+            F.lit(int(dc)).cast("long").alias("doc_count"),
+            F.lit(int(sttf)).cast("long").alias("sum_total_term_freq"),
+            F.lit(int(sdf_)).cast("long").alias("sum_doc_freq"))
+        stats_df = one if stats_df is None else stats_df.unionByName(one)
+    _swap_write(stats_df.coalesce(1), cat.stats_path)

@@ -5,31 +5,40 @@ deleteDocuments(term/key) tombstones matching docs in a bitmap; readers
 mask them out; updateDocument = delete + add; stats keep counting deleted
 docs until a merge rewrites the segment (Lucene behavior, reproduced).
 
-Here tombstones are a `deleted/` parquet table of doc_ids under the index
-root, published with a new commit generation. Searcher loads it
-automatically and masks hits (broadcast for small delete sets — the
-sandbox path; an anti-join/compaction pass is the large-delete path,
-applied by merge_segments which drops tombstoned postings for good).
+Here tombstones are a `deleted/` parquet table of (doc_id, segment_id)
+under the index root, published with a new commit generation. The Spark
+Searcher masks them SCALE-SAFELY: the tombstone table is cogrouped with
+the postings scan per segment (one extra tiny shuffle input — never a
+driver collect, never an `isin` literal in the plan, and top-k is not
+inflated), and match candidates are masked inside the scoring UDF before
+top-k selection. merge_segments purges tombstoned postings for good
+(compaction — Iceberg equality-delete compaction analogue). The
+LocalSearcher serving path keeps an in-memory delete set (top-k-sized
+serving indexes).
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from diagon_spark.index.builder import IndexCatalog, build_index
 
 
-def resolve_delete_ids(spark: SparkSession, cat: IndexCatalog,
-                       deletes_df: DataFrame,
-                       join_cols: list[str] | None = None) -> list[int]:
-    """Map delete keys (e.g. repo/path/commit rows) to doc_ids."""
+def resolve_deletes(spark: SparkSession, cat: IndexCatalog,
+                    deletes_df: DataFrame,
+                    join_cols: list[str] | None = None) -> DataFrame:
+    """Map delete keys (e.g. repo/path/commit rows) to
+    (doc_id, segment_id) via a broadcast join against the docs table."""
     cols = join_cols or cat.key_cols
     if not cols:
         cols = ["doc_id"]
     docs = spark.read.parquet(cat.docs_path)
-    hit = docs.join(F.broadcast(deletes_df.select(*cols).distinct()),
-                    cols, "inner")
-    return [int(r.doc_id) for r in hit.select("doc_id").collect()]
+    return (docs.join(F.broadcast(deletes_df.select(*cols).distinct()),
+                      cols, "inner")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("segment_id").cast("int").alias("segment_id")))
 
 
 def delete_documents(spark: SparkSession, cat: IndexCatalog,
@@ -37,21 +46,36 @@ def delete_documents(spark: SparkSession, cat: IndexCatalog,
                      join_cols: list[str] | None = None) -> int:
     """Tombstone matching docs; returns the number deleted. Atomic via a
     new commit generation (deleteDocuments analogue)."""
-    ids = resolve_delete_ids(spark, cat, deletes_df, join_cols)
-    if ids:
-        (spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-         .write.mode("append").parquet(f"{cat.root}/deleted"))
-    cat.commit({"deleted_added": len(ids)})
-    return len(ids)
+    hits = resolve_deletes(spark, cat, deletes_df, join_cols)
+    n = hits.count()
+    if n:
+        hits.write.mode("append").parquet(f"{cat.root}/deleted")
+    cat.commit({"deleted_added": n})
+    return n
+
+
+def deleted_docs_df(spark: SparkSession, cat: IndexCatalog) -> DataFrame | None:
+    """Tombstones as a DataFrame (doc_id, segment_id), or None if the
+    index has none. Stays distributed — the Searcher cogroups it with the
+    postings scan instead of collecting ids to the driver."""
+    p = Path(cat.root, "deleted")
+    if not p.exists():
+        return None
+    df = spark.read.parquet(str(p))
+    if "segment_id" not in df.columns:  # pre-r2 tombstone tables
+        docs = spark.read.parquet(cat.docs_path).select("doc_id", "segment_id")
+        df = df.select("doc_id").join(docs, "doc_id", "inner")
+    return df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("segment_id").cast("int").alias("segment_id")) \
+             .distinct()
 
 
 def load_deleted_ids(spark: SparkSession, cat: IndexCatalog) -> list[int]:
-    from pathlib import Path
-    p = Path(cat.root, "deleted")
-    if not p.exists():
+    """Collected tombstone ids — LocalSearcher serving path only."""
+    df = deleted_docs_df(spark, cat)
+    if df is None:
         return []
-    return [int(r.doc_id) for r in
-            spark.read.parquet(str(p)).select("doc_id").distinct().collect()]
+    return [int(r.doc_id) for r in df.select("doc_id").collect()]
 
 
 def update_documents(spark: SparkSession, cat: IndexCatalog,

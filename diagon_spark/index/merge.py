@@ -4,12 +4,22 @@ analogue (index/SegmentMerger.cpp:143-195, 555-585; TieredMergePolicy.h).
 The reference merges segments with a min-heap k-way merge over sorted
 per-segment TermsEnums, concatenating postings with a docBase remap. Our
 doc ids are globally deterministic (builder.py), so no remap is needed;
-the k-way merge *is* Spark's shuffle: group every term's chunk rows onto
-one task (`groupBy(bucket)` — already the storage partitioning, so with
-AQE this is a cheap co-located pass), decode, merge-sort by doc id in
-numpy, re-encode into maximal chunks. Output is a single-segment index —
-forceMerge(1) — which is the reference's preferred serving layout
-(BASELINE.md: all query numbers are forceMerge(1)).
+the k-way merge *is* Spark's shuffle: group every (field, term)'s chunk
+rows onto one task, decode, merge-sort by doc id in numpy, re-encode into
+maximal chunks. Output is a single-segment index — forceMerge(1) — which
+is the reference's preferred serving layout (BASELINE.md: all query
+numbers are forceMerge(1)).
+
+Scale notes:
+* merge parallelism is NOT capped at num_buckets: groups are salted by
+  pmod(xxhash64(field, term), S) so the stage runs num_buckets × S tasks
+  (all rows of one term share a salt — correctness unaffected);
+* positions merge as FLAT numpy streams (decode_block_flat → vectorized
+  per-doc reorder → delta re-encode in one varint pass) — no per-doc
+  python lists;
+* tombstoned docs are purged for good (live-docs compaction — Iceberg
+  equality-delete compaction analogue) and term_dict/stats recomputed
+  post-purge so the merged index scores like a freshly-built one.
 """
 
 from __future__ import annotations
@@ -19,47 +29,98 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from diagon_spark.index.builder import (CHUNK_DOCS, IndexCatalog,
-                                        POSTINGS_SCHEMA)
-from diagon_spark.index.codec import decode_all, encode_term_postings
+                                        POSTINGS_SCHEMA, _BLOOM_OPTS,
+                                        _refresh_term_dict_and_stats)
+from diagon_spark.index.codec import decode_all, decode_block_flat
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.empty(len(a), dtype=np.int64)
+    if len(a):
+        out[0] = 0
+        np.cumsum(a[:-1], out=out[1:])
+    return out
+
+
+def _merge_term_rows(recs: list[dict], has_positions: bool,
+                     tombstones: np.ndarray):
+    """Merge one (field, term)'s chunk rows (multiple segments) into
+    doc-sorted flat arrays (docs, tfs, norms, pos_deltas|None). Positions
+    stay FLAT throughout: reorder by doc via one gather, re-delta in one
+    vectorized pass."""
+    docs_l, tfs_l, norms_l, pos_l = [], [], [], []
+    for rec in recs:
+        if has_positions:
+            n = int(rec["df"])
+            nblocks = (n + 127) // 128
+            for bi in range(nblocks):
+                d, t, nn, flat = decode_block_flat(rec, bi)
+                docs_l.append(d); tfs_l.append(t); norms_l.append(nn)
+                pos_l.append(flat)
+        else:
+            d, t, nn = decode_all(rec)
+            docs_l.append(d); tfs_l.append(t); norms_l.append(nn)
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l).astype(np.int64)
+    norms = np.concatenate(norms_l)
+    flat_pos = np.concatenate(pos_l) if has_positions else None
+
+    if len(tombstones):
+        keep = ~np.isin(docs, tombstones)
+        if not keep.all():
+            if has_positions:
+                flat_pos = flat_pos[np.repeat(keep, tfs)]
+            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+    if len(docs) == 0:
+        return docs, tfs, norms, None
+
+    order = np.argsort(docs, kind="stable")
+    if has_positions:
+        starts = _exclusive_cumsum(tfs)
+        new_tfs = tfs[order]
+        new_starts = _exclusive_cumsum(new_tfs)
+        total = int(new_tfs.sum())
+        # gather: value i of the sorted stream comes from the old slice
+        gather = (np.repeat(starts[order], new_tfs)
+                  + np.arange(total, dtype=np.int64)
+                  - np.repeat(new_starts, new_tfs))
+        flat_sorted = flat_pos[gather]
+        # re-delta: first position of each doc absolute, the rest gaps
+        deltas = np.empty_like(flat_sorted)
+        if total:
+            deltas[0] = flat_sorted[0]
+            deltas[1:] = flat_sorted[1:] - flat_sorted[:-1]
+            deltas[new_starts] = flat_sorted[new_starts]
+    else:
+        deltas = None
+    return docs[order], tfs[order], norms[order], deltas
 
 
 def _merge_group_fn(has_positions: bool, num_segments: int,
                     tombstones: np.ndarray):
+    from diagon_spark.index.codec import encode_term_postings
+
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(key[0])
-        # old segment -> merged segment (docBase-remap analogue; doc ids
-        # themselves are global so only the grouping changes)
-        pdf = pdf.assign(_new_seg=pdf["segment_id"] % num_segments)
         out_rows = []
-        for (new_seg, term), grp in pdf.groupby(["_new_seg", "term"],
-                                                sort=False):
-            docs_l, tfs_l, norms_l, pos_l = [], [], [], []
-            for rec in grp.to_dict("records"):
-                if has_positions:
-                    d, t, nn, pos = decode_all(rec, want_positions=True)
-                    pos_l.extend(pos)
-                else:
-                    d, t, nn = decode_all(rec)
-                docs_l.append(d)
-                tfs_l.append(t)
-                norms_l.append(nn)
-            docs = np.concatenate(docs_l)
-            tfs = np.concatenate(tfs_l)
-            norms = np.concatenate(norms_l)
-            order = np.argsort(docs, kind="stable")
-            if len(tombstones):  # purge deleted docs for good (live-docs
-                order = order[~np.isin(docs[order], tombstones)]
-            docs, tfs, norms = docs[order], tfs[order], norms[order]
+        pdf = pdf.assign(_new_seg=pdf["segment_id"] % num_segments)
+        for (new_seg, fld, term), grp in pdf.groupby(
+                ["_new_seg", "field", "term"], sort=False):
+            bucket = int(grp["bucket"].iloc[0])
+            docs, tfs, norms, deltas = _merge_term_rows(
+                grp.to_dict("records"), has_positions, tombstones)
             if len(docs) == 0:
                 continue
-            positions = [pos_l[i] for i in order] if has_positions else None
+            tf_cum = np.concatenate(([0], np.cumsum(tfs)))
             for ci, lo in enumerate(range(0, len(docs), CHUNK_DOCS)):
                 hi = min(lo + CHUNK_DOCS, len(docs))
+                chunk_pos = (deltas[tf_cum[lo]:tf_cum[hi]]
+                             if has_positions else None)
                 enc = encode_term_postings(
                     docs[lo:hi], tfs[lo:hi], norms[lo:hi].astype(np.uint8),
-                    positions[lo:hi] if has_positions else None)
+                    pos_deltas=chunk_pos)
                 out_rows.append({
-                    "term": term, "bucket": bucket, "segment_id": int(new_seg),
+                    "field": fld, "term": term, "bucket": bucket,
+                    "segment_id": int(new_seg),
                     "chunk": ci, "df": int(enc["df"]),
                     "ttf": int(tfs[lo:hi].sum()),
                     "doc_blocks": enc["doc_blocks"],
@@ -85,8 +146,7 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
                    num_segments: int = 1) -> IndexCatalog:
     """Merge/compact to `num_segments` segments under out_dir, purging
     tombstoned docs (the TieredMergePolicy compaction step; num_segments=1
-    is forceMerge(1)). term_dict/stats are recomputed post-purge so the
-    merged index scores like a freshly-built one."""
+    is forceMerge(1))."""
     from diagon_spark._ship import ensure_shipped
     from diagon_spark.index.deletes import load_deleted_ids
     ensure_shipped(spark)
@@ -96,35 +156,41 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
     merged = IndexCatalog(root=out_dir, num_buckets=cat.num_buckets,
                           num_segments=num_segments,
                           has_positions=cat.has_positions,
-                          key_cols=cat.key_cols)
+                          key_cols=cat.key_cols, fields=cat.fields)
     postings = spark.read.parquet(cat.postings_path)
-    # explicit partition count — AQE byte-coalescing would serialize the
-    # CPU-heavy merge groups (see builder.py note)
-    (postings.repartition(cat.num_buckets, F.col("bucket"))
-     .groupBy("bucket")
-     .applyInPandas(_merge_group_fn(cat.has_positions, num_segments,
-                                    tombstones),
-                    schema=POSTINGS_SCHEMA)
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(merged.postings_path))
+    # salt the merge groups: parallelism = num_buckets × n_salts, not
+    # capped at num_buckets; explicit partition count — AQE byte-coalescing
+    # would serialize the CPU-heavy merge groups (see builder.py note)
+    par = spark.sparkContext.defaultParallelism
+    n_salts = max(1, (par * 2 + cat.num_buckets - 1) // cat.num_buckets)
+    salted = postings.withColumn(
+        "_salt", F.pmod(F.xxhash64("field", "term"), F.lit(n_salts))
+        .cast("int"))
+    out = (salted.repartition(cat.num_buckets * n_salts,
+                              F.col("bucket"), F.col("_salt"))
+           .groupBy("bucket", "_salt")
+           .applyInPandas(_merge_group_fn(cat.has_positions, num_segments,
+                                          tombstones),
+                          schema=POSTINGS_SCHEMA))
+    w = (out.repartition(cat.num_buckets, F.col("bucket"))
+         .write.mode("overwrite"))
+    for k_, v_ in _BLOOM_OPTS.items():
+        w = w.option(k_, v_)
+    w.partitionBy("bucket").parquet(merged.postings_path)
+
     docs = spark.read.parquet(cat.docs_path) \
         .withColumn("segment_id",
                     F.pmod(F.col("segment_id"), F.lit(num_segments))
                     .cast("int"))
     if len(tombstones):
-        docs = docs.filter(~F.col("doc_id").isin([int(t) for t in tombstones]))
+        tomb_df = spark.createDataFrame(
+            [(int(t),) for t in tombstones], "doc_id long")
+        docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(merged.docs_path)
-    mp = spark.read.parquet(merged.postings_path)
-    (mp.groupBy("term", "bucket")
-     .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf"))
-     .write.mode("overwrite").parquet(merged.term_dict_path))
     docs_idx = spark.read.parquet(merged.docs_path)
-    stats = docs_idx.agg(F.count("*").alias("max_doc"),
-                         F.count("*").alias("doc_count"),
-                         F.sum("doc_len").alias("sum_total_term_freq"))
-    sum_df = spark.read.parquet(merged.term_dict_path).agg(
-        F.sum("df").alias("sum_doc_freq"))
-    stats.crossJoin(sum_df).write.mode("overwrite").parquet(merged.stats_path)
+    _refresh_term_dict_and_stats(spark, merged, merged.fields,
+                                 docs_idx=docs_idx, new_docs_idx=docs_idx,
+                                 append=False, segment_base=0)
     merged.commit({"merged_from": cat.root, "purged": int(len(tombstones))})
     return merged
 

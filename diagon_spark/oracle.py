@@ -129,3 +129,119 @@ def _topk(scores: dict[int, np.float32], k: int) -> list[tuple[int, float]]:
     """Collector order: score desc, docID asc (TopScoreDocCollector.cpp:220-221)."""
     items = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
     return [(d, float(s)) for d, s in items[:k]]
+
+
+# --------------------------------------------------------- query trees
+
+def phrase_scores(idx: OracleIndex, terms: list[str]) -> dict[int, np.float32]:
+    """All docs matching the exact phrase -> f32 score (rarest-term idf)."""
+    if not terms:
+        return {}
+    cand = set(idx.postings.get(terms[0], {}))
+    for t in terms[1:]:
+        cand &= set(idx.postings.get(t, {}))
+    doc_count, sttf = bm25.collection_stats_with_fallbacks(
+        idx.max_doc, idx.sum_total_term_freq)
+    min_df = idx.max_doc
+    for t in terms:
+        df = len(idx.postings.get(t, {}))
+        if df > 0:
+            min_df = min(min_df, df)
+    min_df = max(min_df, 1)
+    scorer = bm25.sim_scorer(min_df, doc_count, sttf)
+    out: dict[int, np.float32] = {}
+    for d in cand:
+        starts = set(idx.postings[terms[0]][d])
+        for i, t in enumerate(terms[1:], start=1):
+            starts &= {p - i for p in idx.postings[t][d]}
+        if starts:
+            out[d] = scorer.score(np.array([len(starts)]),
+                                  np.array([idx.norm[d]]))[0]
+    return out
+
+
+def eval_query_oracle(query, field_indexes: dict[str, "OracleIndex"],
+                      default_field: str,
+                      doc_values: dict[str, dict[int, float]] | None = None,
+                      all_docs: set[int] | None = None
+                      ) -> dict[int, np.float32]:
+    """Evaluate an arbitrary Query tree -> {doc_id: f32 score}; the golden
+    oracle for nested booleans / multi-field / range-clause queries.
+    Mirrors the engine's semantics exactly: rewrite() first, f32
+    accumulation in clause order (MUST then SHOULD), minShouldMatch over
+    SHOULD clauses, constant-score Range/MatchAll clauses."""
+    from diagon_spark.search.query import (Boolean, MatchAll, MatchNone,
+                                           Phrase, Range, Term, rewrite)
+    q = rewrite(query)
+    dv = doc_values or {}
+    if all_docs is None:
+        any_idx = next(iter(field_indexes.values()))
+        all_docs = set(any_idx.doc_len)
+
+    def ev(node) -> dict[int, np.float32]:
+        if isinstance(node, MatchNone):
+            return {}
+        if isinstance(node, Term):
+            idx = field_indexes[node.field or default_field]
+            doc_count, sttf = bm25.collection_stats_with_fallbacks(
+                idx.max_doc, idx.sum_total_term_freq)
+            df = len(idx.postings.get(node.term, {}))
+            if df == 0:
+                df = idx.max_doc // 10
+            sc = bm25.sim_scorer(df, doc_count, sttf, boost=node.boost)
+            return {d: sc.score(np.array([len(p)]),
+                                np.array([idx.norm[d]]))[0]
+                    for d, p in idx.postings.get(node.term, {}).items()}
+        if isinstance(node, Phrase):
+            idx = field_indexes[node.field or default_field]
+            base = phrase_scores(idx, list(node.phrase_terms))
+            if node.boost != 1.0:
+                return {d: np.float32(s * np.float32(node.boost))
+                        for d, s in base.items()}
+            return base
+        if isinstance(node, Range):
+            vals = dv[node.field]
+            out = {}
+            for d, v in vals.items():
+                if ((node.lower is None or v >= node.lower)
+                        and (node.upper is None or v <= node.upper)):
+                    out[d] = np.float32(node.boost)
+            return out
+        if isinstance(node, MatchAll):
+            return {d: np.float32(node.boost) for d in all_docs}
+        assert isinstance(node, Boolean)
+        must = [ev(c) for c in node.must]
+        should = [ev(c) for c in node.should]
+        must_not = [ev(c) for c in node.must_not]
+        filt = [ev(c) for c in node.filter]
+        if must or filt:
+            cand = None
+            for m in (*must, *filt):
+                cand = set(m) if cand is None else (cand & set(m))
+        else:
+            cand = set()
+            for m in should:
+                cand |= set(m)
+        for m in must_not:
+            cand -= set(m)
+        out = {}
+        for d in cand:
+            acc = np.float32(0.0)
+            nsh = 0
+            for m in must:
+                acc = np.float32(acc + m[d])
+            for m in should:
+                if d in m:
+                    acc = np.float32(acc + m[d])
+                    nsh += 1
+            if node.min_should_match >= 1 and node.should \
+                    and nsh < node.min_should_match:
+                continue
+            out[d] = acc
+        return out
+
+    return ev(q)
+
+
+def topk_oracle(scores: dict[int, np.float32], k: int):
+    return _topk(scores, k)

@@ -2,17 +2,23 @@
 analogue, search/IndexSearcher.cpp).
 
 The index tables are plain parquet; a query needs only the rows of its
-terms (bucket partition pruning + term filter). For serving-style point
-queries, going through a Spark job costs ~0.5 s of scheduling; this
-reader uses pyarrow.dataset directly (zero JVM round trips) and runs the
-SAME numpy scoring kernels (wand.py) the Spark executors run — one code
-path, two execution substrates:
+(field, term) pairs (bucket partition pruning + term filter). For
+serving-style point queries, going through a Spark job costs ~0.5 s of
+scheduling; this reader uses pyarrow.dataset directly (zero JVM round
+trips) and runs the SAME planning (planner.py) and numpy scoring kernels
+(wand.py) the Spark executors run — one code path, two execution
+substrates:
 
 * Spark path (Searcher): distributed scans/analytics, the build engine,
   arbitrarily large indexes;
 * local path (LocalSearcher): millisecond BM25 top-k over the same
   committed tables, suitable for a serving tier that mounts the index
   (exactly how the reference is embedded as a library via its C API).
+
+Nested boolean/phrase trees are served too; Range/MatchAll CLAUSES are
+not (they scan the docs table — use Searcher). Deletes are kept as an
+in-memory id set here (serving-tier indexes carry top-k-scale delete
+sets between compactions).
 
 Correctness contract: identical results to Searcher (tested).
 """
@@ -25,27 +31,31 @@ import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
 from diagon_spark.index.builder import IndexCatalog, term_bucket
-from diagon_spark.search import bm25, wand
-from diagon_spark.search.query import (Boolean, MatchAll, Phrase, Query,
-                                       Range, Term)
+from diagon_spark.search import wand
+from diagon_spark.search.planner import PlannerMixin, run_segment_spec
+from diagon_spark.search.query import (Boolean, MatchAll, MatchNone, Phrase,
+                                       Query, Range, Term, rewrite)
 
-_BASE_COLS = ["term", "segment_id", "chunk", "df", "doc_blocks", "tf_blocks",
-              "norm_bytes", "block_first", "block_last", "block_max_tf",
-              "block_max_norm", "block_doc_off", "block_tf_off"]
+_BASE_COLS = ["field", "term", "segment_id", "chunk", "df", "doc_blocks",
+              "tf_blocks", "norm_bytes", "block_first", "block_last",
+              "block_max_tf", "block_max_norm", "block_doc_off",
+              "block_tf_off"]
 _POS_COLS = _BASE_COLS + ["pos_blocks", "block_pos_off"]
 
 
-class LocalSearcher:
+class LocalSearcher(PlannerMixin):
     def __init__(self, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
         self.cat = catalog
-        srow = pq.read_table(catalog.stats_path).to_pylist()[0]
-        self.max_doc = int(srow["max_doc"])
-        self.sum_total_term_freq = int(srow["sum_total_term_freq"] or 0)
+        self.default_field = catalog.default_field
+        srows = pq.read_table(catalog.stats_path).to_pylist()
+        self.field_stats = {r["field"]: int(r["sum_total_term_freq"] or 0)
+                            for r in srows}
+        self.max_doc = max((int(r["max_doc"]) for r in srows), default=0)
         self._postings_ds = ds.dataset(catalog.postings_path,
                                        partitioning="hive")
         self._term_dict_ds = ds.dataset(catalog.term_dict_path)
-        self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         tomb: set[int] = set(deleted_doc_ids or [])
         from pathlib import Path
         dp = Path(catalog.root, "deleted")
@@ -57,115 +67,76 @@ class LocalSearcher:
 
     # ------------------------------------------------------------ stats
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        missing = [t for t in terms if t not in self._term_stats_cache]
+    def term_stats(self, pairs: list[tuple[str, str]]
+                   ) -> dict[tuple[str, str], tuple[int, int]]:
+        missing = [p for p in pairs if p not in self._term_stats_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.cat.num_buckets)
-                              for t in missing})
+            buckets = sorted({term_bucket(t, self.cat.num_buckets, f)
+                              for f, t in missing})
+            flt = (pc.field("bucket").isin(buckets)
+                   & pc.field("field").isin(sorted({f for f, _ in missing}))
+                   & pc.field("term").isin(sorted({t for _, t in missing})))
             tbl = self._term_dict_ds.to_table(
-                columns=["term", "df", "cttf"],
-                filter=(pc.field("bucket").isin(buckets)
-                        & pc.field("term").isin(missing)))
-            found = {t: (int(d), int(c)) for t, d, c in
-                     zip(tbl.column("term").to_pylist(),
+                columns=["field", "term", "df", "cttf"], filter=flt)
+            found = {(f, t): (int(d), int(c)) for f, t, d, c in
+                     zip(tbl.column("field").to_pylist(),
+                         tbl.column("term").to_pylist(),
                          tbl.column("df").to_pylist(),
                          tbl.column("cttf").to_pylist())}
-            for t in missing:
-                self._term_stats_cache[t] = found.get(t, (0, 0))
-        return {t: self._term_stats_cache[t] for t in terms}
-
-    def _scorer_params(self, terms, boosts=None):
-        import math
-        stats = self.term_stats(terms)
-        doc_count, sttf = bm25.collection_stats_with_fallbacks(
-            self.max_doc, self.sum_total_term_freq)
-        avg64 = (float(sttf) / float(doc_count)
-                 if doc_count > 0 and sttf > 0 else 50.0)
-        out = {}
-        for t in terms:
-            df, _ = stats[t]
-            if df == 0:
-                df = self.max_doc // 10
-            boost = (boosts or {}).get(t, 1.0)
-            out[t] = wand.TermScorerParams(
-                np.float32(float(bm25.idf(df, doc_count)) * boost),
-                float(bm25.avg_field_length(sttf, doc_count)),
-                idf64=math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)) * boost,
-                avg64=avg64)
-        return out
-
-    def _phrase_params(self, terms, boost=1.0):
-        import math
-        stats = self.term_stats(terms)
-        doc_count, sttf = bm25.collection_stats_with_fallbacks(
-            self.max_doc, self.sum_total_term_freq)
-        min_df = self.max_doc
-        for t in terms:
-            df, _ = stats[t]
-            if df > 0:
-                min_df = min(min_df, df)
-        min_df = max(min_df, 1)
-        return wand.TermScorerParams(
-            np.float32(float(bm25.idf(min_df, doc_count)) * boost),
-            float(bm25.avg_field_length(sttf, doc_count)),
-            idf64=math.log(1.0 + (doc_count - min_df + 0.5) / (min_df + 0.5)) * boost,
-            avg64=(float(sttf) / float(doc_count)
-                   if doc_count > 0 and sttf > 0 else 50.0))
+            for p in missing:
+                self._term_stats_cache[p] = found.get(p, (0, 0))
+        return {p: self._term_stats_cache[p] for p in pairs}
 
     # ----------------------------------------------------------- search
 
-    def _postings_rows(self, terms: list[str], need_positions: bool):
-        buckets = sorted({term_bucket(t, self.cat.num_buckets)
-                          for t in terms})
+    def _postings_rows(self, pairs: list[tuple[str, str]],
+                       need_positions: bool):
+        if not pairs:
+            return []
+        buckets = sorted({term_bucket(t, self.cat.num_buckets, f)
+                          for f, t in pairs})
         cols = _POS_COLS if need_positions else _BASE_COLS
         tbl = self._postings_ds.to_table(
             columns=cols,
             filter=(pc.field("bucket").isin(buckets)
-                    & pc.field("term").isin(sorted(set(terms)))))
+                    & pc.field("field").isin(sorted({f for f, _ in pairs}))
+                    & pc.field("term").isin(sorted({t for _, t in pairs}))))
         return tbl.to_pylist()
 
     def search(self, query: Query, k: int = 100, f64: bool = False,
                after: tuple[float, int] | None = None
                ) -> list[tuple[int, float]]:
         """Top-k [(doc_id, score)] best-first; identical to Searcher."""
-        if isinstance(query, (MatchAll, Range)):
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return []
+        if isinstance(q, (MatchAll, Range)):
             raise NotImplementedError(
                 "MatchAll/Range serve from the docs table — use Searcher")
-        spec, params, phrase_params = self._plan(query)
+        spec = self.plan(q)
+        if spec.get("aux_specs"):
+            raise NotImplementedError(
+                "Range/MatchAll clauses inside a boolean scan the docs "
+                "table — use Searcher")
         rows = self._postings_rows(spec["all_terms"],
-                                   spec["kind"] == "phrase")
-        by_seg: dict[int, dict[str, list[dict]]] = {}
+                                   spec["need_positions"])
+        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
         for r in rows:
             by_seg.setdefault(r["segment_id"], {}) \
-                .setdefault(r["term"], []).append(r)
+                .setdefault((r["field"], r["term"]), []).append(r)
         banned = self.deleted
-
-        def score_segment(seg_rows):
-            postings = {t: wand._SegmentPostings(rs)
-                        for t, rs in seg_rows.items()}
-            if spec["kind"] == "or":
-                d, s = wand.wand_disjunction(
-                    postings, params, spec["should"], k + len(banned),
-                    msm=spec.get("msm", 0), f64=f64, after=after)
-            elif spec["kind"] == "phrase":
-                d, s = wand.phrase(postings, phrase_params, spec["terms"],
-                                   k + len(banned), f64=f64, after=after)
-            else:
-                d, s = wand.conjunction(
-                    postings, params, spec["must"], spec["should"],
-                    spec["must_not"], spec["filter"], k + len(banned),
-                    f64=f64, after=after, msm=spec.get("msm", 0))
-            if len(banned) and len(d):
-                keep = ~np.isin(d, banned)
-                d, s = d[keep], s[keep]
-            return d, s
 
         # sequential over segments: measured that a thread pool GIL-thrashes
         # here (scoring is many small numpy calls, not GIL-releasing bulk
         # kernels) — 8 threads ran 8x SLOWER than one. Concurrency for a
         # serving tier comes from running many queries in parallel
         # processes, like the reference's one-thread-per-search model.
-        results = [score_segment(s) for s in by_seg.values()]
+        results = []
+        for seg_rows in by_seg.values():
+            postings = {key: wand._SegmentPostings(rs)
+                        for key, rs in seg_rows.items()}
+            results.append(run_segment_spec(spec, postings, {}, k, f64,
+                                            after, banned))
         all_docs = [d for d, _ in results]
         all_scores = [s for _, s in results]
         if not all_docs:
@@ -176,46 +147,12 @@ class LocalSearcher:
         return [(int(a), float(b)) for a, b in zip(d, s)]
 
     def count(self, query: Query) -> int:
-        if isinstance(query, Term) and len(self.deleted) == 0:
-            return self.term_stats([query.term])[query.term][0]
-        if isinstance(query, MatchAll):
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return 0
+        if isinstance(q, Term) and len(self.deleted) == 0:
+            key = (self._resolve_field(q.field), q.term)
+            return self.term_stats([key])[key][0]
+        if isinstance(q, MatchAll):
             return self.max_doc - len(self.deleted)
-        return len(self.search(query, k=self.max_doc + 1))
-
-    # same plan logic as the Spark searcher
-    def _plan(self, query: Query):
-        phrase_params = None
-        if isinstance(query, Term):
-            spec = {"kind": "or", "should": [query.term], "msm": 0}
-            params = self._scorer_params([query.term],
-                                         {query.term: query.boost})
-        elif isinstance(query, Phrase):
-            terms = list(query.phrase_terms)
-            spec = {"kind": "phrase", "terms": terms}
-            params = self._scorer_params(terms)
-            phrase_params = self._phrase_params(terms, query.boost)
-        elif isinstance(query, Boolean):
-            def flat(qs):
-                return [q.term for q in qs]
-            must, should = flat(query.must), flat(query.should)
-            must_not, filt = flat(query.must_not), flat(query.filter)
-            if query.is_pure_disjunction:
-                spec = {"kind": "or", "should": should,
-                        "msm": query.min_should_match}
-            else:
-                spec = {"kind": "bool", "must": must, "should": should,
-                        "must_not": must_not, "filter": filt,
-                        "msm": query.min_should_match}
-            boosts = {q.term: q.boost for q in (*query.must, *query.should)}
-            params = self._scorer_params([*must, *should, *must_not, *filt],
-                                         boosts)
-        else:
-            raise NotImplementedError(type(query))
-        if spec["kind"] == "phrase":
-            spec["all_terms"] = sorted(set(spec["terms"]))
-        elif spec["kind"] == "or":
-            spec["all_terms"] = sorted(set(spec["should"]))
-        else:
-            spec["all_terms"] = sorted({*spec["must"], *spec["should"],
-                                        *spec["must_not"], *spec["filter"]})
-        return spec, params, phrase_params
+        return len(self.search(q, k=self.max_doc + 1))

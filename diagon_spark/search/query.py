@@ -5,6 +5,14 @@ search/BooleanClause.h:20-40 Occur = MUST / SHOULD / MUST_NOT / FILTER,
 search/PhraseQuery.h, search/NumericRangeQuery.h, MatchAllDocsQuery.h).
 There is no SQL parser in the reference; queries are built
 programmatically, and so are ours.
+
+Queries compose arbitrarily: Boolean clauses may be Terms, Phrases,
+Ranges, MatchAll, or nested Booleans (search/BooleanQuery.cpp:557
+rewrite loop; exercised by tests/integration/Lucene104QueryTest.cpp).
+`rewrite()` applies the reference's simplification pass before planning.
+
+Term/Phrase carry an optional `field` (document/Field.h:24): None means
+the index's default field (its first indexed field).
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ class Query:
 class Term(Query):
     term: str
     boost: float = 1.0
+    field: str | None = None  # None -> index default field
 
     def terms(self) -> list[str]:
         return [self.term]
@@ -51,6 +60,7 @@ class Phrase(Query):
 
     phrase_terms: tuple[str, ...]
     boost: float = 1.0
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return list(self.phrase_terms)
@@ -59,7 +69,8 @@ class Phrase(Query):
 @dataclass(frozen=True)
 class Boolean(Query):
     """MUST scored+required; SHOULD scored+optional; MUST_NOT excluded;
-    FILTER required non-scoring (search/BooleanQuery.h:24-28)."""
+    FILTER required non-scoring (search/BooleanQuery.h:24-28). Clauses are
+    arbitrary Query trees."""
 
     must: tuple[Query, ...] = field(default=())
     should: tuple[Query, ...] = field(default=())
@@ -86,3 +97,77 @@ class Boolean(Query):
         """WAND eligibility — BooleanQuery.cpp:534 isPureDisjunction."""
         return (not self.must and not self.must_not and not self.filter
                 and all(isinstance(q, Term) for q in self.should))
+
+
+@dataclass(frozen=True)
+class MatchNone(Query):
+    """Matches nothing — rewrite() result for contradictions
+    (MUST_NOT MatchAll), the MatchNoDocsQuery analogue."""
+
+
+def rewrite(query: Query) -> Query:
+    """Query simplification before planning — the BooleanQuery::rewrite
+    loop analogue (search/BooleanQuery.cpp:557, search/Query.h:35). Runs
+    to fixpoint:
+
+    * a Boolean with exactly one MUST (or one SHOULD with msm<=1) clause
+      and nothing else rewrites to that clause;
+    * a SHOULD clause that is itself a pure disjunction with msm<=1 is
+      flattened into the parent's SHOULD list;
+    * a MUST clause that is a must-only Boolean is flattened into the
+      parent's MUST list;
+    * FILTER MatchAll clauses are dropped (always true);
+    * MUST_NOT MatchAll rewrites the whole Boolean to MatchNone;
+    * empty Booleans (no positive clause) rewrite to MatchNone.
+    """
+    if not isinstance(query, Boolean):
+        return query
+    must = [rewrite(q) for q in query.must]
+    should = [rewrite(q) for q in query.should]
+    must_not = [rewrite(q) for q in query.must_not]
+    filt = [rewrite(q) for q in query.filter]
+    msm = query.min_should_match
+
+    if any(isinstance(q, MatchAll) for q in must_not):
+        return MatchNone()
+    filt = [q for q in filt if not isinstance(q, MatchAll)]
+    must_not = [q for q in must_not if not isinstance(q, MatchNone)]
+
+    # a MUST/FILTER MatchNone clause can never match
+    if any(isinstance(q, MatchNone) for q in (*must, *filt)):
+        return MatchNone()
+    should = [q for q in should if not isinstance(q, MatchNone)]
+
+    # flatten MUST-of-(must-only Boolean)
+    flat_must: list[Query] = []
+    for q in must:
+        if (isinstance(q, Boolean) and q.must and not q.should
+                and not q.must_not and not q.filter):
+            flat_must.extend(q.must)
+        else:
+            flat_must.append(q)
+    must = flat_must
+
+    # flatten SHOULD-of-pure-disjunction (inner msm<=1)
+    flat_should: list[Query] = []
+    for q in should:
+        if (isinstance(q, Boolean) and q.should and not q.must
+                and not q.must_not and not q.filter
+                and q.min_should_match <= 1):
+            flat_should.extend(q.should)
+        else:
+            flat_should.append(q)
+    should = flat_should
+
+    if not must and not should and not filt:
+        return MatchNone()
+
+    # single-clause unwrap
+    if len(must) == 1 and not should and not must_not and not filt:
+        return must[0]
+    if (len(should) == 1 and not must and not must_not and not filt
+            and msm <= 1):
+        return should[0]
+
+    return Boolean(must=must, should=should, must_not=must_not,
+                   filter=filt, min_should_match=msm)

@@ -3,21 +3,28 @@
 Execution restates the reference's per-segment search as a 3-stage Spark
 plan (SURVEY.md §3.1):
 
-  stage 1 (driver): look up query terms in term_dict/stats — the FST
-      term-seek analogue; compute each term's SimScorer constants once
-      per query like Weight creation (TermQuery.cpp:184-259);
+  stage 1 (driver): look up query (field, term) pairs in term_dict/stats —
+      the FST term-seek analogue; compute each leaf's SimScorer constants
+      once per query like Weight creation (TermQuery.cpp:184-259);
   stage 2 (executors): scan ONLY the pruned postings rows (partition
-      pruning on bucket + parquet predicate pushdown on term; positions
-      column read only for phrase queries — column pruning) and run the
-      vectorized block-max scorer per segment group (wand.py), emitting
-      each segment's local top-k;
+      pruning on bucket + parquet predicate/bloom pushdown on term;
+      positions column read only for phrase queries — column pruning) and
+      run the vectorized block-max scorer per segment group (wand.py),
+      emitting each segment's local top-k;
   stage 3: one tiny shuffle — global orderBy(score desc, doc_id asc)
       limit k, the TopScoreDocCollector tie-break.
 
-Deletes: a (small) deleted-doc set is broadcast into the scoring UDF and
-masked out before top-k selection — the live-docs bitmap analogue
-(codecs/LiveDocsFormat.h:18-47). At larger delete volumes this becomes an
-anti-join at build/compaction time (Iceberg equality deletes).
+Nested query trees (boolean-of-phrase/boolean/range — BooleanQuery.cpp
+rewrite/composition semantics) run through the same stages; Range /
+MatchAll clauses become aux doc-set DataFrames COGROUPED with the
+postings scan per segment, so constant-score clauses never collect to
+the driver.
+
+Deletes are scale-safe: the tombstone table (doc_id, segment_id) is
+cogrouped into the scoring UDF as another aux set and masked before
+top-k selection — never a driver-collected id list, never an `isin`
+literal in the plan, and k is NOT inflated (the live-docs bitmap of
+codecs/LiveDocsFormat.h:18-47 applied at scorer level).
 """
 
 from __future__ import annotations
@@ -27,110 +34,143 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from diagon_spark.index.builder import IndexCatalog, term_bucket
-from diagon_spark.search import bm25, wand
-from diagon_spark.search.query import (Boolean, MatchAll, Phrase, Query,
-                                       Range, Term)
+from diagon_spark.search import wand
+from diagon_spark.search.planner import PlannerMixin, run_segment_spec
+from diagon_spark.search.query import (Boolean, MatchAll, MatchNone, Phrase,
+                                       Query, Range, Term, rewrite)
 
 _HIT_SCHEMA = "doc_id long, score double"
+_TOTAL_SCHEMA = ("doc_id long, score double, segment_id int, "
+                 "seg_total long, seg_exact boolean")
+_COUNT_SCHEMA = "segment_id int, n long"
 
-_BASE_COLS = ["term", "segment_id", "chunk", "df", "doc_blocks", "tf_blocks",
-              "norm_bytes", "block_first", "block_last", "block_max_tf",
-              "block_max_norm", "block_doc_off", "block_tf_off"]
+_BASE_COLS = ["field", "term", "segment_id", "chunk", "df", "doc_blocks",
+              "tf_blocks", "norm_bytes", "block_first", "block_last",
+              "block_max_tf", "block_max_norm", "block_doc_off",
+              "block_tf_off"]
 _POS_COLS = _BASE_COLS + ["pos_blocks", "block_pos_off"]
 
+_AUX_SCHEMA = "segment_id int, doc_id long, set_id int"
 
-class Searcher:
+
+class Searcher(PlannerMixin):
     def __init__(self, spark: SparkSession, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
         from diagon_spark._ship import ensure_shipped
         ensure_shipped(spark)
         self.spark = spark
         self.cat = catalog
-        srow = spark.read.parquet(catalog.stats_path).collect()[0]
-        self.max_doc = int(srow.max_doc)
-        self.sum_total_term_freq = int(srow.sum_total_term_freq or 0)
-        # live-docs mask: explicit ids + the index's durable tombstone table
-        from diagon_spark.index.deletes import load_deleted_ids
-        tombstones = load_deleted_ids(spark, catalog)
-        self.deleted = np.asarray(
-            sorted(set(deleted_doc_ids or []) | set(tombstones)),
-            dtype=np.int64)
-        self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        self.default_field = catalog.default_field
+        # per-field collection stats (FieldInfo analogue)
+        srows = spark.read.parquet(catalog.stats_path).collect()
+        self.field_stats: dict[str, int] = {
+            r.field: int(r.sum_total_term_freq or 0) for r in srows}
+        self.max_doc = max((int(r.max_doc) for r in srows), default=0)
+        self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         # resolve sources once (file listing / schema inference is per-query
         # overhead otherwise); reads stay lazy and pruned
         self._postings_src = spark.read.parquet(catalog.postings_path)
         self._term_dict_src = spark.read.parquet(catalog.term_dict_path)
         self._docs_src = spark.read.parquet(catalog.docs_path)
 
+        # live-docs: durable tombstones + explicit ids, kept DISTRIBUTED
+        from diagon_spark.index.deletes import deleted_docs_df
+        ddf = deleted_docs_df(spark, catalog)
+        if deleted_doc_ids:
+            extra = (spark.createDataFrame([(int(i),) for i in deleted_doc_ids],
+                                           "doc_id long")
+                     .join(self._docs_src.select("doc_id", "segment_id"),
+                           "doc_id", "inner")
+                     .select(F.col("doc_id").cast("long"),
+                             F.col("segment_id").cast("int")))
+            ddf = extra if ddf is None else ddf.unionByName(extra).distinct()
+        self._deleted_df = ddf
+        self.n_deleted = int(ddf.count()) if ddf is not None else 0
+
+    @property
+    def deleted(self) -> np.ndarray:
+        """Collected tombstone ids — test/debug convenience ONLY; the
+        query path masks via the cogrouped delete table."""
+        if self._deleted_df is None:
+            return np.zeros(0, dtype=np.int64)
+        return np.asarray(sorted(int(r.doc_id) for r in
+                                 self._deleted_df.select("doc_id").collect()),
+                          dtype=np.int64)
+
     # ------------------------------------------------ stats (stage 1)
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term -> (df, cttf) from term_dict, with partition-pruned lookup."""
-        missing = [t for t in terms if t not in self._term_stats_cache]
+    def term_stats(self, pairs: list[tuple[str, str]]
+                   ) -> dict[tuple[str, str], tuple[int, int]]:
+        """(field, term) -> (df, cttf) from term_dict, partition-pruned."""
+        missing = [p for p in pairs if p not in self._term_stats_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.cat.num_buckets) for t in missing})
+            buckets = sorted({term_bucket(t, self.cat.num_buckets, f)
+                              for f, t in missing})
+            cond = None
+            by_field: dict[str, set[str]] = {}
+            for f, t in missing:
+                by_field.setdefault(f, set()).add(t)
+            for f, ts in by_field.items():
+                c = (F.col("field") == f) & F.col("term").isin(sorted(ts))
+                cond = c if cond is None else (cond | c)
             rows = (self._term_dict_src
                     .filter(F.col("bucket").isin(buckets))
-                    .filter(F.col("term").isin(missing))
-                    .select("term", "df", "cttf").collect())
-            found = {r.term: (int(r.df), int(r.cttf)) for r in rows}
-            for t in missing:
-                self._term_stats_cache[t] = found.get(t, (0, 0))
-        return {t: self._term_stats_cache[t] for t in terms}
-
-    def _scorer_params(self, terms: list[str],
-                       boosts: dict[str, float] | None = None
-                       ) -> dict[str, wand.TermScorerParams]:
-        """Weight-creation analogue with the reference's stat fallbacks."""
-        stats = self.term_stats(terms)
-        doc_count, sttf = bm25.collection_stats_with_fallbacks(
-            self.max_doc, self.sum_total_term_freq)
-        out = {}
-        import math
-        avg64 = (float(sttf) / float(doc_count)
-                 if doc_count > 0 and sttf > 0 else 50.0)
-        for t in terms:
-            df, _ = stats[t]
-            if df == 0:
-                df = self.max_doc // 10  # TermQuery.cpp:250-256 fallback
-            boost = (boosts or {}).get(t, 1.0)
-            idf32 = float(bm25.idf(df, doc_count)) * boost
-            idf64 = math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5)) * boost
-            avg = float(bm25.avg_field_length(sttf, doc_count))
-            out[t] = wand.TermScorerParams(np.float32(idf32), avg,
-                                           idf64=idf64, avg64=avg64)
-        return out
-
-    def _phrase_params(self, terms: list[str], boost: float = 1.0
-                       ) -> wand.TermScorerParams:
-        """Rarest-term idf (PhraseQuery.cpp:303-338)."""
-        stats = self.term_stats(terms)
-        doc_count, sttf = bm25.collection_stats_with_fallbacks(
-            self.max_doc, self.sum_total_term_freq)
-        min_df = self.max_doc
-        for t in terms:
-            df, _ = stats[t]
-            if df > 0:
-                min_df = min(min_df, df)
-        min_df = max(min_df, 1)
-        import math
-        idf = float(bm25.idf(min_df, doc_count)) * boost
-        idf64 = math.log(1.0 + (doc_count - min_df + 0.5) / (min_df + 0.5)) * boost
-        avg64 = (float(sttf) / float(doc_count)
-                 if doc_count > 0 and sttf > 0 else 50.0)
-        return wand.TermScorerParams(
-            np.float32(idf), float(bm25.avg_field_length(sttf, doc_count)),
-            idf64=idf64, avg64=avg64)
+                    .filter(cond)
+                    .select("field", "term", "df", "cttf").collect())
+            found = {(r.field, r.term): (int(r.df), int(r.cttf))
+                     for r in rows}
+            for p in missing:
+                self._term_stats_cache[p] = found.get(p, (0, 0))
+        return {p: self._term_stats_cache[p] for p in pairs}
 
     # --------------------------------------------- postings scan (stage 2)
 
-    def _postings(self, terms: list[str], need_positions: bool) -> DataFrame:
-        buckets = sorted({term_bucket(t, self.cat.num_buckets) for t in terms})
+    def _postings(self, pairs: list[tuple[str, str]],
+                  need_positions: bool) -> DataFrame:
         cols = _POS_COLS if need_positions else _BASE_COLS
+        if not pairs:
+            return (self._postings_src.select("bucket", *cols)
+                    .filter(F.lit(False)))
+        buckets = sorted({term_bucket(t, self.cat.num_buckets, f)
+                          for f, t in pairs})
+        cond = None
+        by_field: dict[str, set[str]] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, set()).add(t)
+        for f, ts in by_field.items():
+            c = (F.col("field") == f) & F.col("term").isin(sorted(ts))
+            cond = c if cond is None else (cond | c)
         return (self._postings_src
                 .filter(F.col("bucket").isin(buckets))   # partition pruning
-                .filter(F.col("term").isin(list(set(terms))))  # pushed filter
+                .filter(cond)                            # pushed (term bloom)
                 .select("bucket", *cols))
+
+    # ----------------------------------------------------- aux doc sets
+
+    def _aux_df(self, spec: dict) -> DataFrame | None:
+        """Union of tombstones (set -1) and the spec's Range/MatchAll aux
+        sets (set i) as (segment_id, doc_id, set_id) — cogrouped with the
+        postings scan, one tiny extra shuffle input per segment."""
+        parts: list[DataFrame] = []
+        if self._deleted_df is not None:
+            parts.append(self._deleted_df.select(
+                F.col("segment_id"), F.col("doc_id"),
+                F.lit(-1).cast("int").alias("set_id")))
+        for i, q in enumerate(spec.get("aux_specs", [])):
+            if isinstance(q, Range):
+                src = self._range_docs(q, mask_deletes=False)
+            else:  # MatchAll
+                src = self._docs_src
+            parts.append(src.select(
+                F.col("segment_id").cast("int"),
+                F.col("doc_id").cast("long"),
+                F.lit(i).cast("int").alias("set_id")))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------ search
 
@@ -144,51 +184,97 @@ class Searcher:
         hit in collector order — searchAfter pagination
         (TopScoreDocCollector.h:22).
         """
-        if isinstance(query, MatchAll):
-            score = F.lit(float(query.boost)).cast("double")
-            docs = self._docs_src
-            if len(self.deleted):  # live-docs mask (same as _range_docs)
-                docs = docs.filter(~F.col("doc_id")
-                                   .isin([int(d) for d in self.deleted]))
-            return (docs.select(F.col("doc_id"), score.alias("score"))
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return self.spark.createDataFrame([], _HIT_SCHEMA)
+        if isinstance(q, MatchAll):
+            score = F.lit(float(q.boost)).cast("double")
+            return (self._mask_deleted(self._docs_src)
+                    .select(F.col("doc_id"), score.alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
-        if isinstance(query, Range):
+        if isinstance(q, Range):
             # constant-score range over docs-table doc values; Catalyst +
             # parquet row-group stats provide the BKD-style pruning
-            return (self._range_docs(query)
+            return (self._range_docs(q)
                     .select(F.col("doc_id"),
-                            F.lit(float(query.boost)).cast("double")
+                            F.lit(float(q.boost)).cast("double")
                             .alias("score"))
                     .orderBy(F.asc("doc_id")).limit(k))
 
-        spec, params, phrase_params = self._plan(query)
-        banned = self.deleted
-        seg_fn = _make_segment_fn(spec, params, phrase_params, k, f64, banned,
-                                  after)
-        need_pos = spec["kind"] == "phrase"
+        spec = self.plan(q)
+        hits = self._run_spec(spec, _HIT_SCHEMA, k=k, f64=f64, after=after)
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_with_total(self, query: Query, k: int = 100,
+                          f64: bool = False
+                          ) -> tuple[list[tuple[int, float]], int, str]:
+        """Top-k + total hit count with relation — the TopDocs.totalHits
+        analogue (TopScoreDocCollector.cpp:143-151, 237-246). Relation is
+        "eq" when every segment enumerated its matches exactly, "gte"
+        when Block-Max pruning stopped a segment early (the count is then
+        a lower bound, like totalHitsThreshold collectors)."""
+        q = rewrite(query)
+        if isinstance(q, (MatchNone, MatchAll, Range)):
+            n = self.count(q)
+            hits = [(int(r.doc_id), float(r.score))
+                    for r in self.search(q, k=k, f64=f64).collect()]
+            return hits, n, "eq"
+        spec = self.plan(q)
+        rows = self._run_spec(spec, _TOTAL_SCHEMA, k=k, f64=f64,
+                              after=None).collect()
+        total, exact = 0, True
+        seen: set[int] = set()
+        scored = []
+        for r in rows:
+            scored.append((float(r.score), int(r.doc_id)))
+            if int(r.segment_id) not in seen:
+                seen.add(int(r.segment_id))
+                total += int(r.seg_total)
+                exact &= bool(r.seg_exact)
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        hits = [(d, s) for s, d in scored[:k]]
+        return hits, total, ("eq" if exact else "gte")
+
+    def _run_spec(self, spec: dict, schema: str, *, k: int, f64: bool,
+                  after, count_only: bool = False) -> DataFrame:
+        if spec["kind"] == "none":
+            return self.spark.createDataFrame([], schema)
+        postings_df = self._postings(spec["all_terms"],
+                                     spec["need_positions"])
+        aux_df = self._aux_df(spec)
+        seg_fn = _make_segment_fn(spec, k, f64, after, schema, count_only)
         # explicit repartition: the scoring stage is CPU-bound per segment
         # but tiny by bytes, so AQE's size-based coalescing would collapse
         # it to one task; a user-specified partition count (still hashed on
         # segment_id, so groups stay intact) keeps it parallel
         n_part = max(1, min(self.cat.num_segments,
                             self.spark.sparkContext.defaultParallelism * 2))
-        hits = (self._postings(spec["all_terms"], need_pos)
-                .repartition(n_part, F.col("segment_id"))
-                .groupBy("segment_id")
-                .applyInPandas(seg_fn, schema=_HIT_SCHEMA))
-        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        left = postings_df.repartition(n_part, F.col("segment_id"))
+        if aux_df is None:
+            return left.groupBy("segment_id").applyInPandas(
+                _drop_key(seg_fn), schema=schema)
+        right = aux_df.repartition(n_part, F.col("segment_id"))
+        return (left.groupby("segment_id")
+                .cogroup(right.groupby("segment_id"))
+                .applyInPandas(seg_fn, schema=schema))
 
-    def _range_docs(self, query: Range) -> DataFrame:
+    def _mask_deleted(self, docs: DataFrame) -> DataFrame:
+        """Live-docs mask via a (broadcastable) anti-join — no collected
+        id list, no `isin` literal in the plan."""
+        if self._deleted_df is None:
+            return docs
+        return docs.join(F.broadcast(self._deleted_df.select("doc_id")),
+                         "doc_id", "left_anti")
+
+    def _range_docs(self, query: Range, mask_deletes: bool = True
+                    ) -> DataFrame:
         docs = self._docs_src
         col = F.col(query.field)
         if query.lower is not None:
             docs = docs.filter(col >= query.lower)
         if query.upper is not None:
             docs = docs.filter(col <= query.upper)
-        if len(self.deleted):
-            docs = docs.filter(~F.col("doc_id")
-                               .isin([int(d) for d in self.deleted]))
-        return docs
+        return self._mask_deleted(docs) if mask_deletes else docs
 
     def fetch(self, hits: DataFrame) -> DataFrame:
         """Stored-fields fetch (StoredFieldsReader analogue): attach the
@@ -202,93 +288,90 @@ class Searcher:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def count(self, query: Query) -> int:
-        """Hit count; O(1) from term_dict for a single term
-        (TermQuery.cpp:312-341 Weight::count analogue). Range counts are
-        the columnar skip/bulk/scan path (ColumnarStore.h:9-13): Catalyst
-        + parquet stats skip non-overlapping row groups."""
-        if isinstance(query, MatchAll):
-            return self.max_doc - len(self.deleted)
-        if isinstance(query, Term) and len(self.deleted) == 0:
-            return self.term_stats([query.term])[query.term][0]
-        if isinstance(query, Range):
-            return self._range_docs(query).count()
-        return self.search(query, k=self.max_doc + 1).count()
-
-    # ------------------------------------------------------------- plan
-
-    def _plan(self, query: Query):
-        """Query -> executable spec: strategy selection, the reference's
-        scorer-choice logic (BooleanQuery.cpp:376-480, SURVEY.md §4)."""
-        phrase_params = None
-        if isinstance(query, Term):
-            spec = {"kind": "or", "should": [query.term], "msm": 0}
-            params = self._scorer_params([query.term], {query.term: query.boost})
-        elif isinstance(query, Phrase):
-            terms = list(query.phrase_terms)
-            spec = {"kind": "phrase", "terms": terms}
-            params = self._scorer_params(terms)
-            phrase_params = self._phrase_params(terms, query.boost)
-        elif isinstance(query, Boolean):
-            def flat(qs):
-                ts = []
-                for q in qs:
-                    if not isinstance(q, Term):
-                        raise NotImplementedError(
-                            "v1 boolean clauses must be Term queries")
-                    ts.append(q.term)
-                return ts
-            must, should = flat(query.must), flat(query.should)
-            must_not, filt = flat(query.must_not), flat(query.filter)
-            if query.is_pure_disjunction:
-                spec = {"kind": "or", "should": should,
-                        "msm": query.min_should_match}
-            else:
-                spec = {"kind": "bool", "must": must, "should": should,
-                        "must_not": must_not, "filter": filt,
-                        "msm": query.min_should_match}
-            boosts = {q.term: q.boost for q in
-                      (*query.must, *query.should) if isinstance(q, Term)}
-            params = self._scorer_params(
-                [*must, *should, *must_not, *filt], boosts)
-        else:
-            raise NotImplementedError(type(query))
-        spec["all_terms"] = sorted({t for t in _spec_terms(spec)})
-        return spec, params, phrase_params
+        """Hit count; O(1) from term_dict for a single live-index term
+        (TermQuery.cpp:312-341 Weight::count analogue); arithmetic for
+        MatchAll; columnar skip/bulk/scan for Range (ColumnarStore.h:9-13,
+        parquet stats skip non-overlapping row groups). Everything else
+        runs a COUNT-ONLY distributed path: per-segment match counting
+        with no scoring-order sort and no top-k materialization
+        (TotalHitCountCollector analogue)."""
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return 0
+        if isinstance(q, MatchAll):
+            return self.max_doc - self.n_deleted
+        if isinstance(q, Term) and self.n_deleted == 0:
+            key = (self._resolve_field(q.field), q.term)
+            return self.term_stats([key])[key][0]
+        if isinstance(q, Range):
+            return self._range_docs(q).count()
+        spec = self.plan(q, force_tree=True)
+        counts = self._run_spec(spec, _COUNT_SCHEMA, k=0, f64=False,
+                                after=None, count_only=True)
+        row = counts.agg(F.sum("n").alias("n")).collect()[0]
+        return int(row.n or 0)
 
 
-def _spec_terms(spec: dict) -> list[str]:
-    if spec["kind"] == "phrase":
-        return spec["terms"]
-    if spec["kind"] == "or":
-        return spec["should"]
-    return [*spec["must"], *spec["should"], *spec["must_not"], *spec["filter"]]
+def _drop_key(cogroup_fn):
+    """Adapt the cogrouped (left, right) fn to plain grouped input."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return cogroup_fn(pdf, None)
+    return fn
 
 
-def _make_segment_fn(spec: dict, params: dict, phrase_params, k: int,
-                     f64: bool, banned: np.ndarray, after=None):
-    """Build the per-segment applyInPandas function (pickled to executors)."""
-
-    def seg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows_by_term: dict[str, list[dict]] = {}
+def _group_postings(pdf: pd.DataFrame) -> dict:
+    rows_by_key: dict[tuple[str, str], list[dict]] = {}
+    if pdf is not None and len(pdf):
         for rec in pdf.to_dict("records"):
-            rows_by_term.setdefault(rec["term"], []).append(rec)
-        postings = {t: wand._SegmentPostings(rs) for t, rs in rows_by_term.items()}
-        if spec["kind"] == "or":
-            docs, scores = wand.wand_disjunction(
-                postings, params, spec["should"], k + len(banned),
-                msm=spec.get("msm", 0), f64=f64, after=after)
-        elif spec["kind"] == "phrase":
-            docs, scores = wand.phrase(postings, phrase_params, spec["terms"],
-                                       k + len(banned), f64=f64, after=after)
-        else:
-            docs, scores = wand.conjunction(
-                postings, params, spec["must"], spec["should"],
-                spec["must_not"], spec["filter"], k + len(banned), f64=f64,
-                after=after, msm=spec.get("msm", 0))
-        if len(banned) and len(docs):
-            keep = ~np.isin(docs, banned)
-            docs, scores = docs[keep][:k], scores[keep][:k]
-        return pd.DataFrame({"doc_id": docs.astype(np.int64),
-                             "score": scores.astype(np.float64)})
+            rows_by_key.setdefault((rec["field"], rec["term"]),
+                                   []).append(rec)
+    return {key: wand._SegmentPostings(rs)
+            for key, rs in rows_by_key.items()}
+
+
+def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
+                     count_only: bool):
+    """Build the per-segment scoring function (pickled to executors).
+    Cogrouped form: (postings_pdf, aux_pdf) where aux rows are
+    (segment_id, doc_id, set_id); set -1 = tombstones, set i = the spec's
+    i-th Range/MatchAll clause doc set."""
+    with_total = "seg_total" in schema
+
+    def seg_fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame | None
+               ) -> pd.DataFrame:
+        aux_sets: dict[int, np.ndarray] = {}
+        if r_pdf is not None and len(r_pdf):
+            for sid, grp in r_pdf.groupby("set_id"):
+                aux_sets[int(sid)] = np.unique(
+                    grp["doc_id"].to_numpy(np.int64))
+        banned = aux_sets.pop(-1, None)
+        postings = _group_postings(l_pdf)
+
+        if count_only:
+            docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
+                                     aux_sets, False)
+            keep = wand._mask_banned(docs, banned)
+            n = int(keep.sum()) if keep is not None else int(len(docs))
+            seg = (int(l_pdf["segment_id"].iloc[0]) if len(l_pdf)
+                   else (int(r_pdf["segment_id"].iloc[0])
+                         if r_pdf is not None and len(r_pdf) else -1))
+            return pd.DataFrame({"segment_id": [seg], "n": [n]})
+
+        stats_out: dict = {}
+        docs, scores = run_segment_spec(spec, postings, aux_sets, k, f64,
+                                        after, banned, stats_out=stats_out)
+        out = {"doc_id": docs.astype(np.int64),
+               "score": scores.astype(np.float64)}
+        if with_total:
+            seg = (int(l_pdf["segment_id"].iloc[0]) if len(l_pdf)
+                   else (int(r_pdf["segment_id"].iloc[0])
+                         if r_pdf is not None and len(r_pdf) else -1))
+            out["segment_id"] = np.full(len(docs), seg, dtype=np.int32)
+            out["seg_total"] = np.full(len(docs),
+                                       stats_out.get("total", 0),
+                                       dtype=np.int64)
+            out["seg_exact"] = np.full(len(docs),
+                                       bool(stats_out.get("exact", True)))
+        return pd.DataFrame(out)
 
     return seg_fn

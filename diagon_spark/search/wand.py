@@ -21,11 +21,34 @@ All pruning state is per-segment-partition (no global heap), which is the
 scalable compromise SURVEY.md §7 calls out: correct, slightly less
 pruning than a shared heap.
 
+Posting lists are keyed by (field, term) tuples — multi-field postings
+(document/Field.h:24); the functions are agnostic to key shape.
+
+`banned` (tombstoned doc ids of THIS segment, supplied by the searcher's
+cogrouped delete table) is masked out of the candidate stream BEFORE
+top-k selection — the live-docs bitmap applied at scorer level
+(codecs/LiveDocsFormat.h:18-47), so k needs no inflation and pruning
+thresholds stay tight.
+
+`stats_out` (optional dict) receives {"total": n, "exact": bool} — the
+match count this scorer SAW. Exact except for the pruned disjunction
+path, where it is a lower bound (Lucene's TotalHits.Relation
+GREATER_THAN_OR_EQUAL_TO, TopScoreDocCollector.cpp:143-151).
+
 Float32 evaluation order matches the reference: per-term scores are
 float32 (bm25.SimScorer) and are accumulated doc-wise in *clause order*
 (ConjunctionScorer/DisjunctionScorer sum sub-scores in order,
 search/BooleanQuery.cpp:119-124). A float64 mode exists for the DuckDB
 oracle harness (scores reproducible in ANSI SQL).
+
+`eval_tree` evaluates ARBITRARY nested query trees (boolean-of-phrase,
+boolean-of-boolean, range/match-all clauses via aux doc sets) — the
+composable Query execution of search/BooleanQuery.cpp:557 /
+Lucene104QueryTest.cpp. It returns every matching doc with its exact
+score (no top-k pruning inside the tree; the flat fast paths above keep
+the pruned strategies), but leaf decode is *candidate-range restricted*:
+once required clauses fix a candidate span, remaining leaves decode only
+blocks overlapping it (the advance() skipping of ConjunctionScorer).
 """
 
 from __future__ import annotations
@@ -71,7 +94,7 @@ class TermScorerParams:
 
 
 class _SegmentPostings:
-    """Decoded-on-demand postings of one term within one segment."""
+    """Decoded-on-demand postings of one (field, term) within one segment."""
 
     def __init__(self, rows: list[dict]):
         # rows sorted by chunk; blocks across chunks are docID-ordered
@@ -166,10 +189,17 @@ def _after_filter(docs: np.ndarray, scores: np.ndarray, after):
     return docs[keep], scores[keep]
 
 
-def wand_disjunction(postings: dict[str, _SegmentPostings],
-                     params: dict[str, TermScorerParams],
-                     terms: list[str], k: int, msm: int = 0,
-                     f64: bool = False, after=None):
+def _mask_banned(docs: np.ndarray, banned):
+    """Live-docs mask: boolean keep-array over `docs`."""
+    if banned is None or len(banned) == 0 or len(docs) == 0:
+        return None
+    return ~np.isin(docs, banned)
+
+
+def wand_disjunction(postings: dict, params: dict,
+                     terms: list, k: int, msm: int = 0,
+                     f64: bool = False, after=None, banned=None,
+                     stats_out: dict | None = None):
     """Pure-disjunction top-k with block-max interval pruning.
 
     Returns (doc_ids, scores) of the local (per-segment) top-k. `after`
@@ -179,6 +209,8 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
     """
     terms = [t for t in terms if t in postings]
     if not terms:
+        if stats_out is not None:
+            stats_out.update(total=0, exact=True)
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     # Strategy selection (the reference picks WANDScorer vs
@@ -198,10 +230,15 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
             per_term.append((d, params[t].score(tf, nn, f64)))
             cand_parts.append(d)
         cands = np.unique(np.concatenate(cand_parts))
+        keep = _mask_banned(cands, banned)
+        if keep is not None:
+            cands = cands[keep]
         acc, nmatch = _accumulate(cands, per_term, f64)
         if msm > 1:
             keep = nmatch >= msm
             cands, acc = cands[keep], acc[keep]
+        if stats_out is not None:
+            stats_out.update(total=int(len(cands)), exact=True)
         cands, acc = _after_filter(cands, acc.astype(np.float64), after)
         return _topk(cands, acc, k)
 
@@ -241,8 +278,10 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
     all_nmatch: list[np.ndarray] = []
     theta = -np.inf
     n_collected = 0
+    pruned = False
     for vi in visit:
         if n_collected >= k and active[vi] < theta:
+            pruned = True
             break  # Block-Max skip: every remaining doc is non-competitive
         lo, hi = int(int_lo[vi]), int(int_hi[vi])
         per_term = []
@@ -254,6 +293,9 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
             cand_parts.append(d)
         cands = np.unique(np.concatenate(cand_parts)) if cand_parts else \
             np.zeros(0, np.int64)
+        keep = _mask_banned(cands, banned)
+        if keep is not None:
+            cands = cands[keep]
         if len(cands) == 0:
             continue
         acc, nmatch = _accumulate(cands, per_term, f64)
@@ -274,28 +316,37 @@ def wand_disjunction(postings: dict[str, _SegmentPostings],
                 theta = np.partition(flat, len(flat) - k)[len(flat) - k]
 
     if not all_docs:
+        if stats_out is not None:
+            stats_out.update(total=0, exact=not pruned)
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     docs = np.concatenate(all_docs)
     scores = np.concatenate(all_scores)
     if msm > 1:
         keep = np.concatenate(all_nmatch) >= msm
         docs, scores = docs[keep], scores[keep]
+    if stats_out is not None:
+        # lower bound when pruning stopped early (TotalHits GTE relation)
+        stats_out.update(total=int(len(docs)), exact=not pruned)
     return _topk(docs, scores, k)
 
 
-def conjunction(postings: dict[str, _SegmentPostings],
-                params: dict[str, TermScorerParams],
-                must: list[str], should: list[str], must_not: list[str],
-                filters: list[str], k: int, f64: bool = False, after=None,
-                msm: int = 0):
+def conjunction(postings: dict, params: dict,
+                must: list, should: list, must_not: list,
+                filters: list, k: int, f64: bool = False, after=None,
+                msm: int = 0, banned=None, stats_out: dict | None = None):
     """AND/mixed boolean: lead-term candidate pruning + block-range skip.
 
     ConjunctionScorer analogue (BooleanQuery.cpp:23-135): the rarest MUST
     term leads; other terms only decode blocks overlapping surviving
     candidates.
     """
-    if any(t not in postings for t in must):
+    def _none():
+        if stats_out is not None:
+            stats_out.update(total=0, exact=True)
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    if any(t not in postings for t in must):
+        return _none()
     if must:
         order = sorted(must, key=lambda t: postings[t].df)
         cand, _, _ = postings[order[0]].decode_all()
@@ -311,21 +362,24 @@ def conjunction(postings: dict[str, _SegmentPostings],
         parts = [postings[t].decode_all()[0] for t in should
                  if t in postings]
         if not parts:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return _none()
         cand = np.unique(np.concatenate(parts))
     else:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return _none()
     for t in filters:
         if t not in postings or len(cand) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return _none()
         d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))
         cand = np.intersect1d(cand, d, assume_unique=True)
     for t in must_not:
         if t in postings and len(cand):
             d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))
             cand = np.setdiff1d(cand, d, assume_unique=True)
+    keep = _mask_banned(cand, banned)
+    if keep is not None:
+        cand = cand[keep]
     if len(cand) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return _none()
 
     per_term = []
     n_should = np.zeros(len(cand), dtype=np.int32)
@@ -340,39 +394,46 @@ def conjunction(postings: dict[str, _SegmentPostings],
             idx = np.searchsorted(cand, d[m])
             n_should[idx] += 1
     acc, _ = _accumulate(cand, per_term, f64)
-    if msm > 1 and should:  # minShouldMatch over SHOULD clauses
+    if msm >= 1 and should:  # minShouldMatch over SHOULD clauses
         keep = n_should >= msm
         cand, acc = cand[keep], acc[keep]
+    if stats_out is not None:
+        stats_out.update(total=int(len(cand)), exact=True)
     cand, acc = _after_filter(cand, acc.astype(np.float64), after)
     return _topk(cand, acc, k)
 
 
-def phrase(postings: dict[str, _SegmentPostings],
-           phrase_params: TermScorerParams,
-           terms: list[str], k: int, f64: bool = False, after=None):
-    """Exact phrase slop=0 (PhraseQuery.cpp:28-225): conjunction on docID,
-    then verify pos(term_i) == pos(term_0)+i; tf = #start positions."""
+def phrase_matches(postings: dict, terms: list,
+                   restrict: tuple[int, int] | None = None):
+    """All docs matching the exact phrase (slop=0) → (docs asc, phrase
+    freqs, norms). PhraseQuery.cpp:28-225: conjunction on docID, then
+    verify pos(term_i) == pos(term_0)+i; tf = #start positions.
+
+    Vectorized position verification: flatten each term's (doc, pos)
+    pairs over the candidates into composite keys
+    (dense-candidate-index << 32 | position); a phrase start survives
+    term i iff key+i exists in term i's key set — one np.isin per term
+    instead of a python loop per candidate doc.
+    """
+    z = np.zeros(0, np.int64)
     if any(t not in postings for t in terms):
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return z, z, z
     # candidates via conjunction
     order = sorted(set(terms), key=lambda t: postings[t].df)
-    cand, _, _ = postings[order[0]].decode_all()
+    if restrict is not None:
+        cand, _, _ = postings[order[0]].docs_in_range(restrict[0], restrict[1])
+    else:
+        cand, _, _ = postings[order[0]].decode_all()
     for t in order[1:]:
         if len(cand) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return z, z, z
         d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))
         cand = np.intersect1d(cand, d, assume_unique=True)
     if len(cand) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return z, z, z
 
-    # Vectorized position verification: flatten each term's (doc, pos)
-    # pairs over the candidates into composite keys
-    # (dense-candidate-index << 32 | position); a phrase start survives
-    # term i iff key+i exists in term i's key set — one np.isin per term
-    # instead of a python loop per candidate doc
-    # (PhraseQuery.cpp:28-225 restated batch-style).
     lo, hi = int(cand.min()), int(cand.max())
-    keys: dict[str, np.ndarray] = {}
+    keys: dict = {}
     norm_docs, norm_vals = [], []
     for t in dict.fromkeys(terms):
         sp = postings[t]
@@ -390,7 +451,7 @@ def phrase(postings: dict[str, _SegmentPostings],
                 norm_docs.append(d[m])
                 norm_vals.append(nn[m])
         if not dl:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return z, z, z
         idx = np.searchsorted(cand, np.concatenate(dl)).astype(np.int64)
         keys[t] = (idx << np.int64(32)) + np.concatenate(pl)
 
@@ -398,14 +459,176 @@ def phrase(postings: dict[str, _SegmentPostings],
     for i, t in enumerate(terms[1:], start=1):
         surv = surv[np.isin(surv + np.int64(i), keys[t])]
         if len(surv) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return z, z, z
 
     doc_idx, freqs = np.unique(surv >> np.int64(32), return_counts=True)
     docs = cand[doc_idx]
     nd = np.concatenate(norm_docs)
     nv = np.concatenate(norm_vals)
     norms = nv[np.searchsorted(nd, docs)]
+    return docs, freqs.astype(np.int64), norms
+
+
+def phrase(postings: dict, phrase_params: TermScorerParams,
+           terms: list, k: int, f64: bool = False, after=None,
+           banned=None, stats_out: dict | None = None):
+    """Exact-phrase top-k (PhraseQuery.cpp:28-34)."""
+    docs, freqs, norms = phrase_matches(postings, terms)
+    keep = _mask_banned(docs, banned)
+    if keep is not None:
+        docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
+    if stats_out is not None:
+        stats_out.update(total=int(len(docs)), exact=True)
+    if len(docs) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
     scores = phrase_params.score(freqs, norms, f64)
+    docs, scores = _after_filter(docs, np.asarray(scores, dtype=np.float64),
+                                 after)
+    return _topk(docs, scores, k)
+
+
+# ------------------------------------------------------------ query trees
+
+
+def _est_df(node: dict, postings: dict, aux_sets: dict) -> float:
+    """Selectivity estimate for required-clause ordering (rarest first —
+    the reference's cost-based lead iterator, BooleanQuery.cpp:63-87)."""
+    op = node["op"]
+    if op == "term":
+        sp = postings.get(node["key"])
+        return sp.df if sp is not None else 0
+    if op == "phrase":
+        dfs = [postings[k].df for k in node["keys"] if k in postings]
+        return min(dfs) if len(dfs) == len(node["keys"]) else 0
+    if op == "aux":
+        return len(aux_sets.get(node["aux"], ()))
+    if op == "none":
+        return 0
+    return float("inf")  # nested boolean: evaluate after cheap leaves
+
+
+def eval_tree(node: dict, postings: dict, params: dict, aux_sets: dict,
+              f64: bool, restrict: tuple[int, int] | None = None):
+    """Evaluate a query-tree node → (docs asc, scores). Scores accumulate
+    in clause order (float32 mode reference-identical); `restrict` limits
+    leaf decode to a candidate docID span."""
+    dtype = np.float64 if f64 else np.float32
+    empty = (np.zeros(0, np.int64), np.zeros(0, dtype))
+    op = node["op"]
+
+    if op == "none":
+        return empty
+    if op == "term":
+        sp = postings.get(node["key"])
+        if sp is None:
+            return empty
+        if restrict is not None:
+            d, tf, nn = sp.docs_in_range(restrict[0], restrict[1])
+        else:
+            d, tf, nn = sp.decode_all()
+        return d, np.asarray(params[node["pid"]].score(tf, nn, f64),
+                             dtype=dtype)
+    if op == "phrase":
+        d, freqs, norms = phrase_matches(postings, [tuple(k) for k in
+                                                    node["keys"]], restrict)
+        if len(d) == 0:
+            return empty
+        return d, np.asarray(params[node["pid"]].score(freqs, norms, f64),
+                             dtype=dtype)
+    if op == "aux":
+        # range / match-all clause: constant-score over an aux doc set
+        d = aux_sets.get(node["aux"])
+        if d is None or len(d) == 0:
+            return empty
+        if restrict is not None:
+            d = d[(d >= restrict[0]) & (d <= restrict[1])]
+        return d, np.full(len(d), node.get("boost", 1.0), dtype=dtype)
+    if op != "bool":
+        raise ValueError(f"unknown tree op {op!r}")
+
+    must, should = node["must"], node["should"]
+    must_not, filt = node["must_not"], node["filter"]
+    msm = node.get("msm", 0)
+
+    child: dict = {}  # (occur, i) -> (docs, scores)
+    cand = None
+    r = restrict
+
+    def _tighten(c):
+        return (int(c[0]), int(c[-1])) if len(c) else None
+
+    # required clauses, cheapest first (scoring order stays clause order)
+    req = ([("must", i) for i in range(len(must))]
+           + [("filter", i) for i in range(len(filt))])
+    req.sort(key=lambda oi: _est_df((must if oi[0] == "must" else filt)[oi[1]],
+                                    postings, aux_sets))
+    for occ, i in req:
+        n = (must if occ == "must" else filt)[i]
+        d, s = eval_tree(n, postings, params, aux_sets, f64, r)
+        child[(occ, i)] = (d, s)
+        cand = d if cand is None else np.intersect1d(cand, d,
+                                                     assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        r = _tighten(cand)
+
+    if cand is None:
+        # no required clauses: candidates = union of SHOULD matches
+        if not should:
+            return empty
+        for i, n in enumerate(should):
+            child[("should", i)] = eval_tree(n, postings, params, aux_sets,
+                                             f64, restrict)
+        parts = [child[("should", i)][0] for i in range(len(should))]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return empty
+        cand = np.unique(np.concatenate(parts))
+        r = _tighten(cand)
+    else:
+        for i, n in enumerate(should):
+            child[("should", i)] = eval_tree(n, postings, params, aux_sets,
+                                             f64, r)
+
+    for n in must_not:
+        if len(cand) == 0:
+            return empty
+        d, _ = eval_tree(n, postings, params, aux_sets, f64, _tighten(cand))
+        cand = np.setdiff1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return empty
+
+    # accumulate scores in clause order: MUST..., then SHOULD...
+    acc = np.zeros(len(cand), dtype=dtype)
+    n_should = np.zeros(len(cand), dtype=np.int32)
+    for occ, seq in (("must", must), ("should", should)):
+        for i in range(len(seq)):
+            d, s = child[(occ, i)]
+            if len(d) == 0:
+                continue
+            idx = np.searchsorted(cand, d)
+            hit = idx < len(cand)
+            hit[hit] &= cand[idx[hit]] == d[hit]
+            acc[idx[hit]] = (acc[idx[hit]]
+                             + s[hit].astype(dtype)).astype(dtype)
+            if occ == "should":
+                n_should[idx[hit]] += 1
+    if msm >= 1 and should:
+        keep = n_should >= msm
+        cand, acc = cand[keep], acc[keep]
+    return cand, acc
+
+
+def eval_tree_topk(node: dict, postings: dict, params: dict, aux_sets: dict,
+                   k: int, f64: bool, after=None, banned=None,
+                   stats_out: dict | None = None):
+    """Tree evaluation + live-docs mask + searchAfter + local top-k."""
+    docs, scores = eval_tree(node, postings, params, aux_sets, f64)
+    keep = _mask_banned(docs, banned)
+    if keep is not None:
+        docs, scores = docs[keep], scores[keep]
+    if stats_out is not None:
+        stats_out.update(total=int(len(docs)), exact=True)
     docs, scores = _after_filter(docs, np.asarray(scores, dtype=np.float64),
                                  after)
     return _topk(docs, scores, k)

@@ -90,6 +90,7 @@ def _scrub_partial_epoch(spark: SparkSession, out_dir: str,
     is idempotent. Rare path: only runs when a previous attempt of this
     epoch died between its first append and its commit."""
     import shutil
+    scrubbed = False
     for sub, part_by in (("docs", None), ("postings", "bucket"),
                          ("lineage", None)):
         p = Path(out_dir, sub)
@@ -109,6 +110,18 @@ def _scrub_partial_epoch(spark: SparkSession, out_dir: str,
         w.parquet(str(tmp))
         shutil.rmtree(p)
         tmp.rename(p)
+        scrubbed = True
+    if scrubbed:
+        # the failed attempt may have merge-added the epoch into
+        # term_dict/stats before dying — rebuild both from what remains
+        # (full recompute is fine on this rare recovery path)
+        from diagon_spark.index.builder import _refresh_term_dict_and_stats
+        cat = IndexCatalog.load(out_dir)
+        docs_idx = spark.read.parquet(cat.docs_path)
+        _refresh_term_dict_and_stats(spark, cat, cat.fields,
+                                     docs_idx=docs_idx,
+                                     new_docs_idx=docs_idx,
+                                     append=False, segment_base=0)
 
 
 def _exists(out_dir: str) -> bool:

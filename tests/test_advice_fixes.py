@@ -37,14 +37,15 @@ def test_fresh_rebuild_clears_stale_postings(spark, tmp_path):
     build_index(spark, df, out, num_segments=2, num_buckets=4,
                 positions=False)
     s1 = Searcher(spark, IndexCatalog.load(out))
-    df1, _ = s1.term_stats(["int"])["int"]
+    key = (s1.default_field, "int")
+    df1, _ = s1.term_stats([key])[key]
 
     # fresh (non-append) rebuild into the SAME dir over the same corpus:
     # df/cttf must not double and match-all must not see phantom rows
     build_index(spark, df, out, num_segments=2, num_buckets=4,
                 positions=False)
     s2 = Searcher(spark, IndexCatalog.load(out))
-    df2, _ = s2.term_stats(["int"])["int"]
+    df2, _ = s2.term_stats([key])[key]
     assert df2 == df1
     assert s2.count(MatchAll()) == 80
 

@@ -25,18 +25,23 @@ def _plan(df) -> str:
 
 
 def test_term_scan_is_pruned(searcher):
-    plan = _plan(searcher._postings(["int", "return"], need_positions=False))
+    fld = searcher.default_field
+    pairs = [(fld, "int"), (fld, "return")]
+    plan = _plan(searcher._postings(pairs, need_positions=False))
     assert "PartitionFilters: [bucket" in plan, "bucket partition pruning lost"
-    assert "PushedFilters: [In(term" in plan, "term predicate pushdown lost"
+    assert "In(term" in plan and "PushedFilters" in plan, \
+        "term predicate pushdown lost"
+    assert "EqualTo(field" in plan, "field predicate pushdown lost"
     # positions are the biggest column (reference .pos = 173 B/doc); term
     # queries must never read them — column pruning via projection
-    df = searcher._postings(["int", "return"], need_positions=False)
+    df = searcher._postings(pairs, need_positions=False)
     assert "pos_blocks" not in df.columns, \
         "column pruning lost: term query reads positions"
 
 
 def test_phrase_scan_reads_positions(searcher):
-    df = searcher._postings(["int"], need_positions=True)
+    df = searcher._postings([(searcher.default_field, "int")],
+                            need_positions=True)
     assert "pos_blocks" in df.columns
 
 
@@ -47,6 +52,44 @@ def test_scoring_stage_not_coalesced(searcher):
     plan = _plan(searcher.search(q, k=10))
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan \
         or "hashpartitioning(segment_id" in plan, plan[:800]
+
+
+def test_term_granule_skip_bloom_or_dictionary(searcher, spark):
+    """Term point-lookup granule skip (SURVEY §2.3 bloom row): every
+    postings/term_dict row group either carries a parquet bloom filter on
+    `term` (verified in the footer via the JVM reader) or its term column
+    is FULLY dictionary-encoded — in which case parquet-mr intentionally
+    omits the bloom because the page dictionary already gives exact
+    row-group membership (same skipping power). At 100 TB the per-bucket
+    vocabulary overflows the dictionary, encoding falls back to PLAIN,
+    and the bloom (written with parquet.bloom.filter.enabled#term) takes
+    over — self-tuning granule skip."""
+    import glob
+    import pyarrow.parquet as pq
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    checked = 0
+    for pattern in (f"{searcher.cat.postings_path}/*/*.parquet",
+                    f"{searcher.cat.term_dict_path}/*.parquet"):
+        f = sorted(glob.glob(pattern))[0]
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf)
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        cols = r.getFooter().getBlocks().get(0).getColumns()
+        offsets = {cols.get(i).getPath().toDotString():
+                   cols.get(i).getBloomFilterOffset()
+                   for i in range(cols.size())}
+        r.close()
+        if offsets.get("term", -1) > 0:
+            checked += 1
+            continue
+        rg = pq.ParquetFile(f).metadata.row_group(0)
+        enc = next(rg.column(i).encodings for i in range(rg.num_columns)
+                   if rg.column(i).path_in_schema == "term")
+        assert "PLAIN_DICTIONARY" in enc or "RLE_DICTIONARY" in enc, \
+            (f, offsets, enc)
+        checked += 1
+    assert checked == 2
 
 
 def test_docs_range_pushdown(searcher):
