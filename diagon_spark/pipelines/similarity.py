@@ -43,19 +43,46 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+QUANT = 1 << 20  # embedding quantization for integer-exact signatures
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
-    """Deterministic random hyperplanes for sign-LSH."""
+    """Deterministic gaussian hyperplanes for sign-LSH (float variant)."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def md5_planes(dim: int, n_planes: int) -> np.ndarray:
+    """INTEGER hyperplane coefficients derived from md5 — deterministic
+    and ANSI-SQL-reproducible: c[j][d] = md5_32('p{j}:{d}') - 2^31
+    (uniform in ±2^31). With embeddings quantized to int64
+    (floor(x·2^20 + 0.5)), the sign of the dot product is computed in
+    EXACT integer arithmetic, so an oracle summing in any order gets the
+    identical signature — no float-accumulation-order hazard."""
+    import hashlib
+    c = np.empty((n_planes, dim), dtype=np.int64)
+    for j in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"p{j}:{d}".encode()).hexdigest()[:8], 16)
+            c[j, d] = h - (1 << 31)
+    return c
+
+
+def quantize(vecs: np.ndarray) -> np.ndarray:
+    """floor(x·2^20 + 0.5) in float64 — bit-identical to SQL
+    CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)."""
+    return np.floor(vecs.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+
+
 def lsh_signature_udf(planes: np.ndarray):
-    """Arrow-batched sign-LSH signature: bit j = (v · plane_j) >= 0."""
+    """Arrow-batched sign-LSH signature over INTEGER planes:
+    bit j = (quantize(v) · plane_j) >= 0. Max |term| = 2^20 · 2^31 · dim,
+    safely inside int64 for dim <= 2^12."""
 
     @F.pandas_udf(LongType())
     def sig(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat.astype(np.float64) @ planes.T) >= 0.0  # (batch, n_planes)
+        mat = quantize(np.stack(vecs.to_numpy()))  # (batch, dim) int64
+        bits = (mat @ planes.T) >= 0  # (batch, n_planes)
         weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
         return pd.Series(bits.astype(np.int64) @ weights)
 
@@ -70,13 +97,15 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     `max_hamming` bits of the query's — the IVF/LSH scale path.
 
     On a cluster the signature column is precomputed and the table
-    bucketed by it; here it's computed inline.
+    bucketed by it; here it's computed inline. Signatures use integer
+    md5-derived planes (md5_planes) so a SQL oracle reproduces the probe
+    set exactly.
     """
     dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes)
+    planes = md5_planes(dim, n_planes)
     sig_udf = lsh_signature_udf(planes)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_sig = int(((q @ planes.T) >= 0.0).astype(np.int64)
+    q = quantize(np.asarray(query_vec))
+    q_sig = int(((q @ planes.T) >= 0).astype(np.int64)
                 @ (1 << np.arange(n_planes, dtype=np.int64)))
 
     with_sig = emb.withColumn("lsh_sig", sig_udf(F.col(vec_col)))
