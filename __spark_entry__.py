@@ -246,6 +246,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   {"data": 2.0, "table": 1.0, "window": 1.5},
                                   k=20)
 
+    def sparse_maxscore(spark, sf):
+        # MaxScore-pruned sparse top-k: bit-identical to the exhaustive
+        # scatter-add (same oracle), non-essential postings only read for
+        # candidate docs
+        from diagon_spark.pipelines import sparse
+        postings = sparse.build_value_postings(_docs(spark, sf))
+        return sparse.sparse_topk_maxscore(
+            postings, {"data": 2.0, "table": 1.0, "window": 1.5,
+                       "line": 0.2, "join": 0.1}, k=20)
+
     def blob_meta(spark, sf):
         return multimodal.blob_metadata(multimodal.to_blob(_docs(spark, sf)))
 
@@ -289,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": knn_cosine,
         "ann_lsh": ann_lsh,
         "sparse_topk": sparse_topk,
+        "sparse_maxscore": sparse_maxscore,
         "blob_meta": blob_meta,
         "decode_image_fake": decode_image_fake,
         "frame_sample": frame_sample,
@@ -510,6 +521,23 @@ ORDER BY ROUND(dot / (SQRT(na) * qn.qnorm), 6) DESC, vec_id ASC
 LIMIT 10"""
 
 
+def _sparse_sql(query: dict[str, float], k: int) -> str:
+    vals = ", ".join(f"('{t}', {w})" for t, w in query.items())
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+vp AS (
+  SELECT tf.term, tf.doc_id,
+         tf.tf * LN(1.0 + (CAST(s.max_doc AS DOUBLE) - dfq.df + 0.5)
+                    / (dfq.df + 0.5)) AS weight
+  FROM tf JOIN dfq USING(term) CROSS JOIN stats s
+),
+q AS (SELECT * FROM (VALUES {vals}) AS t(term, q_w))
+SELECT doc_id, ROUND(dot, 6) AS score FROM (
+  SELECT vp.doc_id, SUM(q.q_w * vp.weight) AS dot
+  FROM vp JOIN q USING(term) GROUP BY vp.doc_id
+) ORDER BY dot DESC, doc_id ASC LIMIT {k}"""
+
+
 _H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
@@ -685,20 +713,11 @@ FROM documents GROUP BY md5(text)""",
         "minhash_lsh": _minhash_sql(16, 2),
         "simhash": _simhash_sql(32),
         "knn_cosine": _KNN_SQL,
-        "sparse_topk": f"""WITH {_TOK_CTE},
-dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-vp AS (
-  SELECT tf.term, tf.doc_id,
-         tf.tf * LN(1.0 + (CAST(s.max_doc AS DOUBLE) - dfq.df + 0.5)
-                    / (dfq.df + 0.5)) AS weight
-  FROM tf JOIN dfq USING(term) CROSS JOIN stats s
-),
-q AS (SELECT * FROM (VALUES ('data', 2.0), ('table', 1.0),
-                            ('window', 1.5)) AS t(term, q_w))
-SELECT doc_id, ROUND(dot, 6) AS score FROM (
-  SELECT vp.doc_id, SUM(q.q_w * vp.weight) AS dot
-  FROM vp JOIN q USING(term) GROUP BY vp.doc_id
-) ORDER BY dot DESC, doc_id ASC LIMIT 20""",
+        "sparse_topk": _sparse_sql({"data": 2.0, "table": 1.0,
+                                    "window": 1.5}, 20),
+        "sparse_maxscore": _sparse_sql({"data": 2.0, "table": 1.0,
+                                        "window": 1.5, "line": 0.2,
+                                        "join": 0.1}, 20),
         "blob_meta": """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(CASE WHEN length(text) = 0 THEN -1

@@ -107,12 +107,97 @@ def english_analyzer() -> Analyzer:
                  stop_filter())
 
 
+# ------------------------------------------- CJK / multilingual / search
+
+# CJK unified ideographs + extensions, hiragana/katakana, hangul
+_CJK_RANGES = (
+    (0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF),
+    (0xAC00, 0xD7AF), (0xF900, 0xFAFF), (0x20000, 0x2A6DF),
+)
+_CJK_RE = re.compile("[" + "".join(
+    f"{chr(lo)}-{chr(hi)}" for lo, hi in _CJK_RANGES) + "]+")
+
+
+def _cjk_bigrams(run: str) -> list[str]:
+    """Overlapping character bigrams of one CJK run (single char → itself).
+    The standard dictionary-free CJK segmentation used by Lucene's
+    CJKAnalyzer; the reference's `chinese` analyzer uses Jieba dictionary
+    segmentation (analysis/AnalyzerFactory.cpp:38-52) — Jieba is not in
+    this container, so bigrams are the documented stand-in and
+    `chinese_analyzer(segmenter=...)` is where a real Jieba-style
+    callable plugs in."""
+    if len(run) == 1:
+        return [run]
+    return [run[i:i + 2] for i in range(len(run) - 1)]
+
+
+def _mixed_tokenize(text: str, segmenter=None) -> list[str]:
+    """Split text into CJK runs (segmented) and non-CJK spans
+    (standard-tokenized), preserving order."""
+    from diagon_spark.analysis.tokenizer import tokenize
+    out: list[str] = []
+    last = 0
+    for m in _CJK_RE.finditer(text):
+        if m.start() > last:
+            out.extend(tokenize(text[last:m.start()]))
+        seg = segmenter(m.group()) if segmenter else _cjk_bigrams(m.group())
+        out.extend(seg)
+        last = m.end()
+    if last < len(text):
+        out.extend(tokenize(text[last:]))
+    return out
+
+
+def chinese_analyzer(segmenter=None) -> Analyzer:
+    """`chinese` analyzer (AnalyzerFactory.cpp:38-52). The reference
+    segments with Jieba; here CJK runs become overlapping character
+    bigrams (CJKAnalyzer semantics) unless a `segmenter(str)->list[str]`
+    callable (e.g. jieba.lcut on a real cluster) is supplied. Non-CJK
+    spans go through the standard tokenizer."""
+    def run(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: _mixed_tokenize(t, segmenter))
+    return run
+
+
+def multilingual_analyzer() -> Analyzer:
+    """`multilingual` (AnalyzerFactory.cpp:54-70): script-aware routing —
+    CJK runs segmented, everything else standard + ASCII folding."""
+    fold = ascii_folding_filter()
+
+    def run(texts: pd.Series) -> pd.Series:
+        toks = texts.fillna("").map(_mixed_tokenize)
+        return fold(toks)
+    return run
+
+
+DEFAULT_SYNONYMS: dict[str, list[str]] = {
+    # AnalyzerFactory.cpp:72-89 search-analyzer default chain carries a
+    # synonym set; ours is pluggable via search_analyzer(synonyms=...)
+    "fn": ["function"], "func": ["function"],
+    "init": ["initialize"], "config": ["configuration"],
+}
+
+
+def search_analyzer(synonyms: dict[str, list[str]] | None = None
+                    ) -> Analyzer:
+    """`search` analyzer (AnalyzerFactory.cpp:72-89): the query-time chain
+    — standard tokenize + lowercase + synonym expansion. Used on the
+    QUERY side only (expanding a term multiplies posting lookups, not
+    index size)."""
+    return chain(standard_analyzer,
+                 synonym_filter(synonyms or DEFAULT_SYNONYMS))
+
+
 ANALYZERS: dict[str, Callable[[], Analyzer]] = {
     "whitespace": lambda: whitespace_analyzer,
     "keyword": lambda: keyword_analyzer,
     "simple": lambda: simple_analyzer,
     "standard": lambda: standard_analyzer,
     "english": english_analyzer,
+    "chinese": chinese_analyzer,
+    "multilingual": multilingual_analyzer,
+    "search": search_analyzer,
 }
 
 

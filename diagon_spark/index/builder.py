@@ -566,6 +566,10 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
 
     tok_docs = None  # lazily recompute tokens only if some batch runs
     n_run = 0
+    # per-wave doc/len sums accumulated from the lineage agg — feeds the
+    # stats refresh without a second docs scan (valid only when THIS run
+    # processed every new segment, i.e. not resuming into partial state)
+    stats_acc = {"n": 0, "sttf": {fn_: 0 for fn_ in field_names}}
     for bi, seg_ids in enumerate(batches):
         todo = [s for s in seg_ids if s not in done]
         if not todo:
@@ -611,26 +615,38 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
         w.partitionBy("bucket").parquet(cat.postings_path)
         wall_ms = int((time.time() - t0) * 1000)
 
-        # lineage rows (fingerprint = sum of crc32 of doc keys per segment)
+        # lineage rows (fingerprint = sum of crc32 of doc keys per segment).
+        # Per-field doc_len sums ride along so the stats refresh below
+        # needs NO extra docs scan (collected from the cached lineage agg)
         total_len = None
-        for fn_ in field_names:
+        per_field_sums = []
+        for i_, fn_ in enumerate(field_names):
             c = F.col(_bq(doc_len_col(fn_)))
             total_len = c if total_len is None else total_len + c
+            per_field_sums.append(F.sum(c).alias(f"sum_len__{i_}"))
         lineage = (docs_idx.filter(F.col("segment_id").isin(todo))
                    .groupBy("segment_id")
                    .agg(F.count("*").alias("n_docs"),
                         F.sum(F.crc32(F.col("content_sha256"))).alias("input_fingerprint"),
-                        F.sum(total_len).alias("n_postings"))
+                        F.sum(total_len).alias("n_postings"),
+                        *per_field_sums)
                    .withColumn("status", F.lit("done"))
                    .withColumn("wall_ms", F.lit(wall_ms))
                    .withColumn("batch", F.lit(bi))
                    .withColumn("ts", F.current_timestamp()))
+        lineage = lineage.persist()
         lineage.write.mode("append").parquet(cat.lineage_path)
+        for r in lineage.collect():  # cache hit, no second docs scan
+            stats_acc["n"] += int(r.n_docs)
+            for i_, fn_ in enumerate(field_names):
+                stats_acc["sttf"][fn_] += int(r[f"sum_len__{i_}"] or 0)
+        lineage.unpersist()
 
-    _refresh_term_dict_and_stats(spark, cat, field_names,
-                                 docs_idx=docs_idx,
-                                 new_docs_idx=new_docs_idx,
-                                 append=append, segment_base=segment_base)
+    covered_all = (not resume and max_batches is None and not done)
+    _refresh_term_dict_and_stats(
+        spark, cat, field_names, docs_idx=docs_idx,
+        new_docs_idx=new_docs_idx, append=append, segment_base=segment_base,
+        stats_acc=stats_acc if covered_all else None)
 
     if persist_tokens:
         docs.unpersist()
@@ -673,7 +689,8 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
                                  field_names: list[str], *,
                                  docs_idx: DataFrame,
                                  new_docs_idx: DataFrame,
-                                 append: bool, segment_base: int) -> None:
+                                 append: bool, segment_base: int,
+                                 stats_acc: dict | None = None) -> None:
     """Term dictionary + per-field collection stats.
 
     Fresh build: one global shuffle agg over all postings (the k-way
@@ -702,14 +719,21 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
 
     # per-field stats: (field, max_doc, doc_count, sum_total_term_freq,
     # sum_doc_freq). max_doc/doc_count are global doc counts (the
-    # reference pins docCount := maxDoc, TermQuery.cpp:220-223).
-    aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.col(_bq(doc_len_col(fn_)))).alias(f"__s_{i}")
-        for i, fn_ in enumerate(field_names)]
-    row = new_docs_idx.agg(*aggs).collect()[0]
-    n_new = int(row["__n"])
-    sttf_new = {fn_: int(row[f"__s_{i}"] or 0)
-                for i, fn_ in enumerate(field_names)}
+    # reference pins docCount := maxDoc, TermQuery.cpp:220-223). Sums
+    # come from the lineage aggregation accumulated during the build
+    # (no extra docs scan) when the caller covered every new segment;
+    # resume/merge/scrub paths fall back to a docs scan.
+    if stats_acc is not None:
+        n_new = int(stats_acc["n"])
+        sttf_new = {fn_: int(stats_acc["sttf"][fn_]) for fn_ in field_names}
+    else:
+        aggs = [F.count("*").alias("__n")] + [
+            F.sum(F.col(_bq(doc_len_col(fn_)))).alias(f"__s_{i}")
+            for i, fn_ in enumerate(field_names)]
+        row = new_docs_idx.agg(*aggs).collect()[0]
+        n_new = int(row["__n"])
+        sttf_new = {fn_: int(row[f"__s_{i}"] or 0)
+                    for i, fn_ in enumerate(field_names)}
     sdf_rows = (spark.read.parquet(cat.term_dict_path)
                 .groupBy("field").agg(F.sum("df").alias("sdf")).collect())
     sum_doc_freq = {r.field: int(r.sdf) for r in sdf_rows}

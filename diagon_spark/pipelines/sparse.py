@@ -39,6 +39,111 @@ def build_value_postings(df: DataFrame, id_col: str = "doc_id",
                     .alias("weight")))
 
 
+def term_meta(postings: DataFrame) -> DataFrame:
+    """Per-term upper-bound metadata (term, max_weight, df) — the QBlock
+    per-block impact table collapsed to term granularity
+    (sparse/QBlockIndex.h:21-139). Tiny (vocab-sized); on a cluster it is
+    written once next to the postings and broadcast at query time."""
+    return postings.groupBy("term").agg(
+        F.max("weight").alias("max_weight"),
+        F.count("*").alias("df"))
+
+
+def quantize_weights(postings: DataFrame, bits: int = 8) -> DataFrame:
+    """Optional uint8 weight quantization (BlockMaxQuantizedIndex.h:56-89):
+    qweight = ceil(weight / scale) with per-term scale = max_weight / 255,
+    so dequantized values are SOUND UPPER BOUNDS (qweight·scale >= weight)
+    — candidates pruned with quantized scores can never lose a true
+    top-k doc; exact rescore uses the full-precision weight column."""
+    levels = float((1 << bits) - 1)
+    meta = postings.groupBy("term").agg(F.max("weight").alias("_mw"))
+    return (postings.join(meta, "term")
+            .withColumn("qweight",
+                        F.ceil(F.col("weight") * levels / F.col("_mw"))
+                        .cast("int"))
+            .withColumn("scale", F.col("_mw") / levels)
+            .drop("_mw"))
+
+
+def sparse_topk_maxscore(postings: DataFrame, query: dict[str, float],
+                         k: int = 10,
+                         meta: DataFrame | None = None) -> DataFrame:
+    """EXACT top-k with MaxScore pruning (SindiScorer.h:45-111 /
+    MaxScoreBulkScorer restated batch-style):
+
+    1. per-term upper bounds ub_t = q_w(t)·max_weight(t) from the (tiny)
+       meta table — one driver-side collect of |query| rows;
+    2. θ = k-th exact score over the single largest-ub term's postings
+       (a LOWER bound on the final k-th score, since those docs' final
+       scores only grow);
+    3. ESSENTIAL terms = minimal ub-descending prefix whose excluded
+       suffix sums below θ: a doc matching only non-essential terms
+       scores < θ — provably non-competitive, its postings rows are
+       never aggregated;
+    4. exact scores = essential postings scatter-add, PLUS non-essential
+       postings semi-joined to the candidate doc set (runtime row-level
+       skipping — the scan of heavy low-impact terms reduces to candidate
+       rows only).
+
+    Results are bit-identical to the exhaustive sparse_topk (driver-gate
+    checked); only work is skipped, never weight. With quantized postings
+    the candidate phase can read the uint8 column (sound upper bounds,
+    see quantize_weights) and rescore exactly — same guarantee.
+    """
+    m = (meta if meta is not None else term_meta(postings))
+    rows = (m.filter(F.col("term").isin(list(query)))
+            .select("term", "max_weight").collect())
+    ubs = sorted(((float(query[r.term]) * float(r.max_weight), r.term)
+                  for r in rows), reverse=True)
+    if not ubs:
+        return (postings.select(F.col("doc_id"),
+                                F.lit(0.0).alias("score"))
+                .filter(F.lit(False)))
+    qmap = F.create_map(*[F.lit(x) for kv in query.items() for x in kv])
+
+    # θ probe: exact top-k of the largest-ub term alone
+    t0 = ubs[0][1]
+    probe = (postings.filter(F.col("term") == t0)
+             .select("doc_id",
+                     (F.lit(float(query[t0])) * F.col("weight"))
+                     .alias("s"))
+             .orderBy(F.desc("s")).limit(k).collect())
+    theta = float(probe[-1].s) if len(probe) >= k else float("-inf")
+
+    # minimal essential prefix: suffix of excluded ubs must stay < θ
+    suffix = 0.0
+    essential = []
+    for ub, t in ubs:
+        essential.append(t)
+    # walk from the tail: drop terms while the dropped-suffix sum < θ
+    non_essential = []
+    for ub, t in reversed(ubs):
+        if len(essential) > 1 and suffix + ub < theta:
+            suffix += ub
+            non_essential.append(t)
+            essential.remove(t)
+        else:
+            break
+
+    ess = (postings.filter(F.col("term").isin(essential))
+           .select("doc_id",
+                   (qmap[F.col("term")] * F.col("weight")).alias("part")))
+    partial = ess.groupBy("doc_id").agg(F.sum("part").alias("dot"))
+    if non_essential:
+        cand = partial.select("doc_id")
+        ne = (postings.filter(F.col("term").isin(non_essential))
+              .join(cand, "doc_id", "left_semi")
+              .select("doc_id",
+                      (qmap[F.col("term")] * F.col("weight")).alias("part"))
+              .groupBy("doc_id").agg(F.sum("part").alias("dot")))
+        hits = (partial.unionByName(ne)
+                .groupBy("doc_id").agg(F.sum("dot").alias("dot")))
+    else:
+        hits = partial
+    return (hits.select("doc_id", F.round("dot", 6).alias("score"))
+            .orderBy(F.desc("dot"), F.asc("doc_id")).limit(k))
+
+
 def sparse_topk(postings: DataFrame, query: dict[str, float],
                 k: int = 10) -> DataFrame:
     """Top-k docs by sparse dot product with the query vector.

@@ -53,6 +53,31 @@ _POS_COLS = _BASE_COLS + ["pos_blocks", "block_pos_off"]
 _AUX_SCHEMA = "segment_id int, doc_id long, set_id int"
 
 
+class _FilterCache:
+    """LRU of materialized filter doc sets — the FilterCache /
+    CachingWrapperQuery analogue (SURVEY §2.3 filter-cache row): a Range /
+    MatchAll clause reused across queries hits a persisted
+    (MEMORY_AND_DISK) (segment_id, doc_id) DataFrame instead of
+    re-scanning the docs table. Eviction unpersists."""
+
+    def __init__(self, capacity: int = 32):
+        from collections import OrderedDict
+        self.capacity = capacity
+        self._map: "OrderedDict[tuple, object]" = OrderedDict()
+
+    def get(self, key: tuple, build):
+        if key in self._map:
+            self._map.move_to_end(key)
+            return self._map[key]
+        from pyspark import StorageLevel
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        self._map[key] = df
+        if len(self._map) > self.capacity:
+            _, old = self._map.popitem(last=False)
+            old.unpersist()
+        return df
+
+
 class Searcher(PlannerMixin):
     def __init__(self, spark: SparkSession, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
@@ -86,6 +111,7 @@ class Searcher(PlannerMixin):
             ddf = extra if ddf is None else ddf.unionByName(extra).distinct()
         self._deleted_df = ddf
         self.n_deleted = int(ddf.count()) if ddf is not None else 0
+        self.filter_cache = _FilterCache()
 
     @property
     def deleted(self) -> np.ndarray:
@@ -158,9 +184,14 @@ class Searcher(PlannerMixin):
                 F.lit(-1).cast("int").alias("set_id")))
         for i, q in enumerate(spec.get("aux_specs", [])):
             if isinstance(q, Range):
-                src = self._range_docs(q, mask_deletes=False)
+                key = ("range", q.field, q.lower, q.upper)
+                src = self.filter_cache.get(
+                    key, lambda q=q: self._range_docs(q, mask_deletes=False)
+                    .select("segment_id", "doc_id"))
             else:  # MatchAll
-                src = self._docs_src
+                src = self.filter_cache.get(
+                    ("matchall",),
+                    lambda: self._docs_src.select("segment_id", "doc_id"))
             parts.append(src.select(
                 F.col("segment_id").cast("int"),
                 F.col("doc_id").cast("long"),
