@@ -111,9 +111,12 @@ class PlannerMixin:
         if isinstance(q, MatchNone):
             return {"kind": "none", "all_terms": [], "need_positions": False}
 
+        n_segs = max(1, getattr(self.cat, "num_segments", 1))
+        hint = max(1, -(-self.max_doc // n_segs))  # ceil(maxDoc/segments)
         if not force_tree:
             flat = self._plan_flat(q)
             if flat is not None:
+                flat["n_docs_hint"] = hint
                 return flat
 
         state = {"pid": 0, "params": {}, "aux": []}
@@ -206,7 +209,7 @@ def run_segment_spec(spec: dict, postings: dict, aux_sets: dict, k: int,
         return wand.wand_disjunction(
             postings, spec["params"], spec["should"], k,
             msm=spec.get("msm", 0), f64=f64, after=after, banned=banned,
-            stats_out=stats_out)
+            stats_out=stats_out, n_docs_hint=spec.get("n_docs_hint"))
     if spec["kind"] == "phrase":
         return wand.phrase(postings, spec["phrase_params"], spec["terms"],
                            k, f64=f64, after=after, banned=banned,

@@ -199,7 +199,8 @@ def _mask_banned(docs: np.ndarray, banned):
 def wand_disjunction(postings: dict, params: dict,
                      terms: list, k: int, msm: int = 0,
                      f64: bool = False, after=None, banned=None,
-                     stats_out: dict | None = None):
+                     stats_out: dict | None = None,
+                     n_docs_hint: int | None = None):
     """Pure-disjunction top-k with block-max interval pruning.
 
     Returns (doc_ids, scores) of the local (per-segment) top-k. `after`
@@ -222,7 +223,15 @@ def wand_disjunction(postings: dict, params: dict,
     firsts = [postings[t].first[0] for t in terms if len(postings[t].first)]
     lasts = [postings[t].last[-1] for t in terms if len(postings[t].last)]
     doc_range = (max(lasts) - min(firsts) + 1) if firsts else 1
-    if total_df >= 0.25 * doc_range or k >= total_df:
+    # density = postings volume vs how many docs the segment can hold:
+    # the docID span over-estimates wildly for strided/sparse id schemes,
+    # so the planner supplies ~maxDoc/numSegments as a second bound.
+    # Bulk when dense, when k covers everything, or when the TOTAL posting
+    # volume is tiny relative to k (tiny segments make the interval sweep
+    # pure overhead).
+    denom = min(doc_range, n_docs_hint * 2) if n_docs_hint else doc_range
+    if (total_df >= 0.25 * denom or k >= total_df
+            or total_df <= 8 * max(k, 1)):
         per_term = []
         cand_parts = []
         for t in terms:
