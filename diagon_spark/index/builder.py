@@ -201,6 +201,8 @@ class IndexCatalog:
             meta = json.loads(by_gen[generation].read_text())
         else:
             meta = json.loads(commits[-1].read_text())
+        from diagon_spark.index.codec import CODEC_NAME, codec_for_name
+        codec_for_name(meta.get("codec", CODEC_NAME))
         return IndexCatalog(
             root=root,
             fields=list(meta.get("fields") or ["content"]),
@@ -212,12 +214,14 @@ class IndexCatalog:
         cdir.mkdir(parents=True, exist_ok=True)
         existing = IndexCatalog.list_commits(self.root)
         gen = (IndexCatalog._gen_of(existing[-1]) + 1) if existing else 0
+        from diagon_spark.index.codec import CODEC_NAME
         meta = {
             "num_buckets": self.num_buckets,
             "num_segments": self.num_segments,
             "has_positions": self.has_positions,
             "key_cols": self.key_cols,
             "fields": self.fields,
+            "codec": CODEC_NAME,  # Codec SPI: readers validate via registry
             "ts": time.time(),
             **(extra or {}),
         }

@@ -20,6 +20,21 @@ import numpy as np
 
 BLOCK = 128  # docs per block — Lucene104PostingsWriter.h:212-218 (SKIP_INTERVAL)
 
+# Codec SPI (Codec::forName registry analogue, codecs/Codec.cpp /
+# design/00_ARCHITECTURE_OVERVIEW.md:176-199): the commit manifest records
+# which posting codec wrote the index; readers refuse unknown names
+# instead of mis-decoding. New formats register here under a new name.
+CODEC_NAME = "bitpack128-varint-1"
+KNOWN_CODECS = {CODEC_NAME}
+
+
+def codec_for_name(name: str) -> str:
+    if name not in KNOWN_CODECS:
+        raise ValueError(
+            f"unknown postings codec {name!r}; this build knows "
+            f"{sorted(KNOWN_CODECS)} (Codec::forName analogue)")
+    return name
+
 # ---------------------------------------------------------------- bitpack
 
 

@@ -318,6 +318,48 @@ class Searcher(PlannerMixin):
         return (stored.join(F.broadcast(hits), "doc_id", "inner")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
+    def profile(self, query: Query, k: int = 100, f64: bool = False) -> dict:
+        """Query-side observability — the SearchProfiler / query-metrics
+        analogue (util/SearchProfiler.cpp, observability/Metrics.h):
+        returns plan shape + scan pruning facts + per-phase wall times +
+        per-segment match totals for one executed search."""
+        import time as _t
+        from diagon_spark.index.builder import term_bucket
+        t0 = _t.time()
+        q = rewrite(query)
+        if isinstance(q, (MatchNone, MatchAll, Range)):
+            hits = self.search(q, k=k, f64=f64).collect()
+            return {"kind": type(q).__name__.lower(),
+                    "plan_ms": round((_t.time() - t0) * 1000, 2),
+                    "hits_returned": len(hits)}
+        spec = self.plan(q)
+        plan_ms = (_t.time() - t0) * 1000
+        t1 = _t.time()
+        rows = self._run_spec(spec, _TOTAL_SCHEMA, k=k, f64=f64,
+                              after=None).collect()
+        exec_ms = (_t.time() - t1) * 1000
+        seg_totals: dict[int, int] = {}
+        exact = True
+        for r in rows:
+            seg_totals.setdefault(int(r.segment_id), int(r.seg_total))
+            exact &= bool(r.seg_exact)
+        return {
+            "kind": spec["kind"],
+            "leaves": [list(p) for p in spec["all_terms"]],
+            "buckets_scanned": sorted(
+                {term_bucket(t, self.cat.num_buckets, f)
+                 for f, t in spec["all_terms"]}),
+            "num_buckets": self.cat.num_buckets,
+            "positions_read": bool(spec["need_positions"]),
+            "segments_matched": len(seg_totals),
+            "per_segment_matches": seg_totals,
+            "total_hits": sum(seg_totals.values()),
+            "total_relation": "eq" if exact else "gte",
+            "hits_returned": min(k, len(rows)),
+            "plan_ms": round(plan_ms, 2),
+            "exec_ms": round(exec_ms, 2),
+        }
+
     def count(self, query: Query) -> int:
         """Hit count; O(1) from term_dict for a single live-index term
         (TermQuery.cpp:312-341 Weight::count analogue); arithmetic for

@@ -1,0 +1,62 @@
+"""Codec SPI registry (Codec::forName analogue) + query-side profiler
+(SearchProfiler analogue) — the two §2.7 extension-point rows that were
+partial in round 1."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from diagon_spark import Searcher, build_index
+from diagon_spark.corpus import generate_pandas
+from diagon_spark.index.builder import IndexCatalog
+from diagon_spark.index.codec import CODEC_NAME, codec_for_name
+from diagon_spark.search.query import Boolean, Term
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("codecidx"))
+    cat = build_index(spark, spark.createDataFrame(generate_pandas(0, 80)),
+                      out, num_segments=2, num_buckets=4, positions=False)
+    return out, cat
+
+
+def test_commit_records_codec(idx):
+    out, _ = idx
+    commits = IndexCatalog.list_commits(out)
+    meta = json.loads(commits[-1].read_text())
+    assert meta["codec"] == CODEC_NAME
+
+
+def test_unknown_codec_rejected(idx):
+    out, _ = idx
+    commits = IndexCatalog.list_commits(out)
+    meta = json.loads(commits[-1].read_text())
+    meta["codec"] = "futuristic-v9"
+    bad = Path(out, "_commits", "commit_99.json")
+    bad.write_text(json.dumps(meta))
+    try:
+        with pytest.raises(ValueError, match="unknown postings codec"):
+            IndexCatalog.load(out)
+    finally:
+        bad.unlink()
+    with pytest.raises(ValueError):
+        codec_for_name("nope")
+
+
+def test_profile_search(spark, idx):
+    _, cat = idx
+    s = Searcher(spark, cat)
+    q = Boolean(must=[Term("int")], should=[Term("return")])
+    p = s.profile(q, k=10)
+    assert p["kind"] == "bool"
+    assert sorted(t for _, t in
+                  [tuple(x) for x in p["leaves"]]) == ["int", "return"]
+    assert p["positions_read"] is False
+    assert 1 <= len(p["buckets_scanned"]) <= 2 <= p["num_buckets"]
+    assert p["total_relation"] == "eq"
+    assert p["total_hits"] == s.count(q)
+    assert p["hits_returned"] == 10
+    assert p["exec_ms"] > 0 and p["plan_ms"] >= 0
+    assert sum(p["per_segment_matches"].values()) == p["total_hits"]
