@@ -69,7 +69,6 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from diagon_spark.analysis.tokenizer import tokenize_series
-from diagon_spark.index.codec import encode_term_postings
 from diagon_spark.index.norms import encode_norm
 
 CHUNK_DOCS = 16384  # max docs per postings row (salting of heavy hitters)
@@ -330,50 +329,42 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
             pos_deltas_all[1:] = poss[1:] - poss[:-1]
             pos_deltas_all[td_starts] = poss[td_starts]
 
+        # batched encode: every term's blocks/tails/positions in ~3
+        # vectorized codec passes total (see codec.encode_segment_batch)
+        from diagon_spark.index.codec import encode_segment_batch
+        recs = encode_segment_batch(
+            g_docs, tfs, g_norms, t_starts, t_ends, CHUNK_DOCS,
+            pos_deltas_all if has_positions else None,
+            td_starts if has_positions else None)
+        term_strs = [v.decode("utf-8") if bytes_tokens else str(v)
+                     for v in sorted_vocab]
+        term_buckets = [term_bucket(t, num_buckets, fld) for t in term_strs]
+        # term index of each group start -> per-chunk term string
+        g_tid_at_start = g_term_ids[t_starts]
         out_rows = []
-        for ts, te in zip(t_starts, t_ends):
-            v = sorted_vocab[g_term_ids[ts]]
-            term = v.decode("utf-8") if bytes_tokens else str(v)
-            bucket = term_bucket(term, num_buckets, fld)
-            t_docs = g_docs[ts:te]
-            t_tfs = tfs[ts:te]
-            t_norms = g_norms[ts:te]
-            t_tf_cum = np.concatenate(([0], np.cumsum(t_tfs)))
-            t_val_base = td_starts[ts]
-            # chunk heavy hitters (salting): <= CHUNK_DOCS docs per row
-            for ci, lo in enumerate(range(0, len(t_docs), CHUNK_DOCS)):
-                hi = min(lo + CHUNK_DOCS, len(t_docs))
-                if has_positions:
-                    v_lo = t_val_base + t_tf_cum[lo]
-                    v_hi = t_val_base + t_tf_cum[hi]
-                    chunk_pos = pos_deltas_all[v_lo:v_hi]
-                else:
-                    chunk_pos = None
-                enc = encode_term_postings(
-                    t_docs[lo:hi], t_tfs[lo:hi],
-                    t_norms[lo:hi].astype(np.uint8),
-                    pos_deltas=chunk_pos)
-                out_rows.append({
-                    "field": fld,
-                    "term": term,
-                    "bucket": bucket,
-                    "segment_id": segment_id,
-                    "chunk": ci,
-                    "df": int(enc["df"]),
-                    "ttf": int(t_tfs[lo:hi].sum()),
-                    "doc_blocks": enc["doc_blocks"],
-                    "tf_blocks": enc["tf_blocks"],
-                    "norm_bytes": enc["norm_bytes"],
-                    "block_first": enc["block_first"].tolist(),
-                    "block_last": enc["block_last"].tolist(),
-                    "block_max_tf": enc["block_max_tf"].tolist(),
-                    "block_max_norm": enc["block_max_norm"].tolist(),
-                    "block_doc_off": enc["block_doc_off"].tolist(),
-                    "block_tf_off": enc["block_tf_off"].tolist(),
-                    "pos_blocks": enc["pos_blocks"] if has_positions else None,
-                    "block_pos_off": (enc["block_pos_off"].tolist()
-                                      if has_positions else None),
-                })
+        for rec in recs:
+            tid = int(g_tid_at_start[rec["term_i"]])
+            out_rows.append({
+                "field": fld,
+                "term": term_strs[tid],
+                "bucket": term_buckets[tid],
+                "segment_id": segment_id,
+                "chunk": rec["chunk"],
+                "df": int(rec["df"]),
+                "ttf": int(rec["ttf"]),
+                "doc_blocks": rec["doc_blocks"],
+                "tf_blocks": rec["tf_blocks"],
+                "norm_bytes": rec["norm_bytes"],
+                "block_first": rec["block_first"].tolist(),
+                "block_last": rec["block_last"].tolist(),
+                "block_max_tf": rec["block_max_tf"].tolist(),
+                "block_max_norm": rec["block_max_norm"].tolist(),
+                "block_doc_off": rec["block_doc_off"].tolist(),
+                "block_tf_off": rec["block_tf_off"].tolist(),
+                "pos_blocks": rec["pos_blocks"],
+                "block_pos_off": (rec["block_pos_off"].tolist()
+                                  if has_positions else None),
+            })
         return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
     return encode

@@ -77,22 +77,35 @@ def _bit_width(values: np.ndarray) -> int:
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 encode (vectorized) — analogue of util/VByte.h:51-80."""
+    """LEB128 encode (vectorized) — analogue of util/VByte.h:51-80.
+
+    Fast path: when every value fits 7 bits (the common case for position
+    gaps / docID deltas / tfs) the encoding IS the uint8 cast. Otherwise
+    byte position j of every value is written in one scatter pass —
+    max_nb passes total, no (n × max_nb) temporary matrix (which made
+    large batched calls quadratic-ish in memory traffic)."""
     v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
         return b""
+    if int(v.max()) < 0x80:
+        return v.astype(np.uint8).tobytes()
     nb = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
         nb += (tmp > 0).astype(np.int64)
         tmp = tmp >> np.uint64(7)
     max_nb = int(nb.max())
-    cols = np.arange(max_nb, dtype=np.int64)
-    payload = (v[:, None] >> (np.uint64(7) * cols[None, :].astype(np.uint64))) & np.uint64(0x7F)
-    cont = cols[None, :] < (nb[:, None] - 1)
-    bytes_matrix = (payload | np.where(cont, np.uint64(0x80), np.uint64(0))).astype(np.uint8)
-    mask = cols[None, :] < nb[:, None]
-    return bytes_matrix[mask].tobytes()
+    off = np.empty(len(v), dtype=np.int64)
+    off[0] = 0
+    np.cumsum(nb[:-1], out=off[1:])
+    out = np.empty(int(off[-1] + nb[-1]), dtype=np.uint8)
+    for j in range(max_nb):
+        sel = nb > j
+        payload = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)) \
+            .astype(np.uint8)
+        cont = (nb[sel] - 1) > j
+        out[off[sel] + j] = payload | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -159,6 +172,8 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Byte length of each value's LEB128 encoding (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
     nb = np.ones(len(v), dtype=np.int64)
+    if len(v) == 0 or int(v.max()) < 0x80:
+        return nb
     tmp = v >> np.uint64(7)
     while tmp.any():
         nb += (tmp > 0).astype(np.int64)
@@ -352,3 +367,190 @@ def decode_all(row: dict, want_positions: bool = False):
     if want_positions:
         return docs, tfs, norms, pos_l
     return docs, tfs, norms
+
+
+# ------------------------------------------------- batched segment encode
+
+
+def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+def encode_segment_batch(g_docs: np.ndarray, tfs: np.ndarray,
+                         g_norms: np.ndarray, t_starts: np.ndarray,
+                         t_ends: np.ndarray, chunk_docs: int,
+                         pos_deltas_all: np.ndarray | None,
+                         td_starts: np.ndarray | None):
+    """Encode EVERY term of a segment in one batched pass.
+
+    Byte-identical to calling encode_term_postings per term-chunk (tested)
+    but with ~3 vectorized codec passes total instead of 3 per term:
+    * all full 128-doc blocks of all terms bit-packed in ONE
+      pack_full_blocks call (it batches by bit width internally);
+    * all sub-128 tails LEB128-encoded in ONE varint pass, sliced per
+      chunk by prefix-summed per-value byte lengths;
+    * the whole segment's position deltas varint-encoded in ONE pass and
+      sliced per chunk the same way.
+    The per-term python loop shrinks to slicing + bytes joins — this was
+    the dominant encode cost (~0.5 ms/term of numpy-call overhead).
+
+    Inputs are the post-sort (term, doc)-group arrays produced by the
+    segment encoder: `g_docs/tfs/g_norms` one entry per (term, doc) pair
+    in (term, doc) order; `t_starts/t_ends` term boundaries in group
+    space; `pos_deltas_all` the value-space delta stream (first position
+    of each group absolute, rest gaps) with `td_starts` the value-space
+    start of each group.
+
+    Returns a list of per-chunk dicts shaped exactly like
+    encode_term_postings's result, plus ("term_i", "chunk") keys.
+    """
+    has_positions = pos_deltas_all is not None
+    n_terms = len(t_starts)
+    t_lens = t_ends - t_starts
+    n_chunks_per_term = (t_lens + chunk_docs - 1) // chunk_docs
+    n_chunks = int(n_chunks_per_term.sum())
+    chunk_term = np.repeat(np.arange(n_terms), n_chunks_per_term)
+    ch_off = _excl_cumsum(n_chunks_per_term)
+    chunk_ci = np.arange(n_chunks) - ch_off[chunk_term]
+    chunk_lo = t_starts[chunk_term] + chunk_ci * chunk_docs
+    chunk_hi = np.minimum(chunk_lo + chunk_docs, t_ends[chunk_term])
+    chunk_len = chunk_hi - chunk_lo
+
+    norm_eff = np.where(g_norms == 0, 127, g_norms)
+    tf_gcum = _excl_cumsum(tfs)
+
+    # ---- full 128-doc blocks, all chunks at once
+    n_full = (chunk_len // BLOCK).astype(np.int64)
+    fb_off = _excl_cumsum(n_full)
+    n_full_total = int(fb_off[-1])
+    if n_full_total:
+        fb_chunk = np.repeat(np.arange(n_chunks), n_full)
+        fb_k = np.arange(n_full_total) - fb_off[fb_chunk]
+        fb_start = chunk_lo[fb_chunk] + fb_k * BLOCK
+        gidx = fb_start[:, None] + np.arange(BLOCK)[None, :]
+        dmat = g_docs[gidx]
+        tmat = tfs[gidx]
+        gaps_mat = np.empty_like(dmat)
+        gaps_mat[:, 0] = 0
+        gaps_mat[:, 1:] = dmat[:, 1:] - dmat[:, :-1]
+        doc_parts_full = pack_full_blocks(gaps_mat)
+        tf_parts_full = pack_full_blocks(tmat)
+        fb_first = dmat[:, 0]
+        fb_last = dmat[:, -1]
+        fb_max_tf = tmat.max(axis=1)
+        fb_max_norm = norm_eff[gidx].max(axis=1)
+        fb_doc_blens = np.fromiter((len(p) for p in doc_parts_full),
+                                   dtype=np.int64, count=n_full_total)
+        fb_tf_blens = np.fromiter((len(p) for p in tf_parts_full),
+                                  dtype=np.int64, count=n_full_total)
+    else:
+        doc_parts_full, tf_parts_full = [], []
+        fb_doc_blens = fb_tf_blens = np.zeros(0, dtype=np.int64)
+        fb_first = fb_last = fb_max_tf = fb_max_norm = np.zeros(0, np.int64)
+
+    # ---- tails (sub-128 residuals), one varint pass over all of them
+    tail_len = chunk_len - n_full * BLOCK
+    has_tail = tail_len > 0
+    tl_off = _excl_cumsum(tail_len)  # per-chunk offset into tail streams
+    n_tail_vals = int(tl_off[-1])
+    if n_tail_vals:
+        tail_start = chunk_lo + n_full * BLOCK  # group-space
+        tg_idx = (np.repeat(tail_start, tail_len)
+                  + np.arange(n_tail_vals)
+                  - np.repeat(tl_off[:-1], tail_len))
+        tail_docs = g_docs[tg_idx]
+        run_first = tl_off[:-1][has_tail]  # start of each run in stream
+        gaps = np.empty(n_tail_vals, dtype=np.int64)
+        gaps[1:] = tail_docs[1:] - tail_docs[:-1]
+        gaps[run_first] = 0
+        tail_doc_bytes = varint_encode(gaps)
+        tail_doc_cum = _excl_cumsum(varint_lengths(gaps))
+        tail_tfs = tfs[tg_idx]
+        tail_tf_bytes = varint_encode(tail_tfs)
+        tail_tf_cum = _excl_cumsum(varint_lengths(tail_tfs))
+        # per-run metadata (runs are contiguous in the tail stream)
+        tb_first = tail_docs[run_first]
+        run_last = (tl_off[1:][has_tail]) - 1
+        tb_last = tail_docs[run_last]
+        tb_max_tf = np.maximum.reduceat(tail_tfs, run_first)
+        tb_max_norm = np.maximum.reduceat(norm_eff[tg_idx], run_first)
+        # map chunk -> its tail run index
+        tail_run_of_chunk = np.full(n_chunks, -1, dtype=np.int64)
+        tail_run_of_chunk[has_tail] = np.arange(int(has_tail.sum()))
+    else:
+        tail_doc_bytes = tail_tf_bytes = b""
+        tail_doc_cum = tail_tf_cum = np.zeros(1, dtype=np.int64)
+        tail_run_of_chunk = np.full(n_chunks, -1, dtype=np.int64)
+        tb_first = tb_last = tb_max_tf = tb_max_norm = np.zeros(0, np.int64)
+
+    # ---- positions: one varint pass over the whole segment
+    if has_positions:
+        pos_bytes_all = varint_encode(pos_deltas_all)
+        pos_cum = _excl_cumsum(varint_lengths(pos_deltas_all))
+        # value-space index of each group start/end
+        group_vstart = td_starts
+        # value index of chunk start/end
+        ch_v_lo = group_vstart[chunk_lo]
+        last_g = chunk_hi - 1
+        ch_v_hi = group_vstart[last_g] + tfs[last_g]
+
+    out = []
+    mv_doc = memoryview(tail_doc_bytes)
+    mv_tf = memoryview(tail_tf_bytes)
+    for c in range(n_chunks):
+        nf = int(n_full[c])
+        f0 = int(fb_off[c])
+        parts_d = doc_parts_full[f0:f0 + nf]
+        parts_t = tf_parts_full[f0:f0 + nf]
+        firsts = list(fb_first[f0:f0 + nf])
+        lasts = list(fb_last[f0:f0 + nf])
+        maxtf = list(fb_max_tf[f0:f0 + nf])
+        maxnm = list(fb_max_norm[f0:f0 + nf])
+        d_lens = list(fb_doc_blens[f0:f0 + nf])
+        t_blens = list(fb_tf_blens[f0:f0 + nf])
+        tr = int(tail_run_of_chunk[c])
+        if tr >= 0:
+            lo_v, hi_v = int(tl_off[c]), int(tl_off[c + 1])
+            parts_d = parts_d + [mv_doc[int(tail_doc_cum[lo_v]):
+                                        int(tail_doc_cum[hi_v])]]
+            parts_t = parts_t + [mv_tf[int(tail_tf_cum[lo_v]):
+                                       int(tail_tf_cum[hi_v])]]
+            firsts.append(tb_first[tr]); lasts.append(tb_last[tr])
+            maxtf.append(tb_max_tf[tr]); maxnm.append(tb_max_norm[tr])
+            d_lens.append(int(tail_doc_cum[hi_v]) - int(tail_doc_cum[lo_v]))
+            t_blens.append(int(tail_tf_cum[hi_v]) - int(tail_tf_cum[lo_v]))
+        lo_g, hi_g = int(chunk_lo[c]), int(chunk_hi[c])
+        rec = {
+            "chunk": int(chunk_ci[c]),
+            "term_i": int(chunk_term[c]),
+            "df": np.int32(chunk_len[c]),
+            "ttf": int(tf_gcum[hi_g] - tf_gcum[lo_g]),
+            "doc_blocks": b"".join(parts_d),
+            "tf_blocks": b"".join(parts_t),
+            "norm_bytes": g_norms[lo_g:hi_g].astype(np.uint8).tobytes(),
+            "block_first": np.asarray(firsts, dtype=np.int64),
+            "block_last": np.asarray(lasts, dtype=np.int64),
+            "block_max_tf": np.asarray(maxtf, dtype=np.int32),
+            "block_max_norm": np.asarray(maxnm, dtype=np.int32),
+            "block_doc_off": _excl_cumsum(
+                np.asarray(d_lens, dtype=np.int64))[:-1].astype(np.int32),
+            "block_tf_off": _excl_cumsum(
+                np.asarray(t_blens, dtype=np.int64))[:-1].astype(np.int32),
+            "pos_blocks": None,
+            "block_pos_off": None,
+        }
+        if has_positions:
+            v_lo, v_hi = int(ch_v_lo[c]), int(ch_v_hi[c])
+            rec["pos_blocks"] = bytes(
+                memoryview(pos_bytes_all)[int(pos_cum[v_lo]):
+                                          int(pos_cum[v_hi])])
+            # byte offset of each block's first value, chunk-relative
+            nb = nf + (1 if tr >= 0 else 0)
+            blk_g_starts = lo_g + np.arange(nb, dtype=np.int64) * BLOCK
+            blk_v_starts = td_starts[blk_g_starts]
+            rec["block_pos_off"] = (pos_cum[blk_v_starts]
+                                    - pos_cum[v_lo]).astype(np.int32)
+        out.append(rec)
+    return out
