@@ -149,6 +149,28 @@ class _SegmentPostings:
             return docs, tfs, norms, pos
         return docs, tfs, norms
 
+    def docs_at(self, cands: np.ndarray):
+        """Decode only blocks CONTAINING at least one candidate docID
+        (cands sorted asc) — the advance(target) skipping of
+        ConjunctionScorer/MaxScore at block granularity; with k
+        candidates at most k blocks decode regardless of list length."""
+        if len(cands) == 0 or len(self.first) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z.astype(np.uint8)
+        i = np.searchsorted(cands, self.first)
+        ok = (i < len(cands)) & \
+            (cands[np.minimum(i, len(cands) - 1)] <= self.last)
+        dl, tl, nl = [], [], []
+        for b in np.flatnonzero(ok):
+            d, t, nn = self.decode_block(int(b))
+            m = np.isin(d, cands, assume_unique=True)
+            if m.any():
+                dl.append(d[m]); tl.append(t[m]); nl.append(nn[m])
+        z = np.zeros(0, dtype=np.int64)
+        if not dl:
+            return z, z, z.astype(np.uint8)
+        return np.concatenate(dl), np.concatenate(tl), np.concatenate(nl)
+
     def docs_in_range(self, lo: int, hi: int):
         """Decode only blocks overlapping [lo, hi] -> (docs, tfs, norms) clipped."""
         bsel = np.flatnonzero((self.first <= hi) & (self.last >= lo))
@@ -230,8 +252,84 @@ def wand_disjunction(postings: dict, params: dict,
     # volume is tiny relative to k (tiny segments make the interval sweep
     # pure overhead).
     denom = min(doc_range, n_docs_hint * 2) if n_docs_hint else doc_range
-    if (total_df >= 0.25 * denom or k >= total_df
-            or total_df <= 8 * max(k, 1)):
+    dense = total_df >= 0.25 * denom
+    trivial = k >= total_df or total_df <= 8 * max(k, 1)
+
+    # per-term block upper bounds (vectorized impact math; cheap — the
+    # impact arrays are already in memory)
+    ubs, starts_all, ends_all = [], [], []
+    for t in terms:
+        sp = postings[t]
+        p = params[t]
+        if f64:
+            ub = p.score(sp.max_tf, sp.max_norm, True)
+        else:
+            ub = bm25.SimScorer(np.float32(p.idf_boost), np.float32(p.avg_len)) \
+                .max_score(sp.max_tf, sp.max_norm).astype(np.float64)
+        ubs.append(ub)
+        starts_all.append(sp.first)
+        ends_all.append(sp.last)
+
+    # MAXSCORE (MaxScoreBulkScorer.cpp:28-90 essential/non-essential
+    # split): θ = k-th exact score of the highest-upper-bound term; the
+    # smallest ub-descending prefix whose excluded suffix sums below θ is
+    # ESSENTIAL — docs matching only non-essential terms provably can't
+    # reach the top k, so their postings decode only at blocks holding a
+    # candidate (docs_at). Tried BEFORE the dense-bulk path: a rare
+    # high-idf clause can skip heavy low-idf lists that density metrics
+    # call "dense". Skipped for searchAfter paging, msm>1 (θ would be
+    # unsound), and when the probe term itself is heavy.
+    if not trivial and after is None and msm <= 1 and len(terms) >= 3:
+        g_ub = [float(u.max()) if len(u) else 0.0 for u in ubs]
+        order = sorted(range(len(terms)), key=lambda i: -g_ub[i])
+        t0 = terms[order[0]]
+        if postings[t0].df <= max(8 * k, total_df // 4):
+            d0, tf0, nn0 = postings[t0].decode_all()
+            s0 = np.asarray(params[t0].score(tf0, nn0, f64),
+                            dtype=np.float64)
+            keep0 = _mask_banned(d0, banned)
+            if keep0 is not None:
+                s0 = s0[keep0]  # θ must bound LIVE docs only
+            if len(s0) >= k:
+                theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
+                suffix = 0.0
+                essential = list(order)
+                for i in reversed(order):
+                    if len(essential) > 1 and suffix + g_ub[i] < theta:
+                        suffix += g_ub[i]
+                        essential.remove(i)
+                    else:
+                        break
+                if len(essential) < len(terms):
+                    ess_terms = [terms[i] for i in essential]
+                    cand_parts = [postings[t].decode_all()[0]
+                                  for t in ess_terms]
+                    cands = np.unique(np.concatenate(cand_parts))
+                    keep = _mask_banned(cands, banned)
+                    if keep is not None:
+                        cands = cands[keep]
+                    if len(cands):
+                        per_term = []
+                        for t in terms:  # clause order (f32 accumulation)
+                            if t in ess_terms:
+                                d, tf, nn = postings[t].decode_all()
+                                m = np.isin(d, cands, assume_unique=True)
+                                d, tf, nn = d[m], tf[m], nn[m]
+                            else:
+                                # block-granular advance: only blocks
+                                # holding a candidate decode
+                                d, tf, nn = postings[t].docs_at(cands)
+                            per_term.append(
+                                (d, params[t].score(tf, nn, f64)))
+                        acc, _nm = _accumulate(cands, per_term, f64)
+                        if stats_out is not None:
+                            # docs matching only non-essential terms are
+                            # not enumerated: lower bound (GTE relation)
+                            stats_out.update(total=int(len(cands)),
+                                             exact=False)
+                        return _topk(cands, acc.astype(np.float64), k)
+
+    if dense or trivial:
         per_term = []
         cand_parts = []
         for t in terms:
@@ -250,20 +348,6 @@ def wand_disjunction(postings: dict, params: dict,
             stats_out.update(total=int(len(cands)), exact=True)
         cands, acc = _after_filter(cands, acc.astype(np.float64), after)
         return _topk(cands, acc, k)
-
-    # per-term block upper bounds (vectorized impact math)
-    ubs, starts_all, ends_all = [], [], []
-    for t in terms:
-        sp = postings[t]
-        p = params[t]
-        if f64:
-            ub = p.score(sp.max_tf, sp.max_norm, True)
-        else:
-            ub = bm25.SimScorer(np.float32(p.idf_boost), np.float32(p.avg_len)) \
-                .max_score(sp.max_tf, sp.max_norm).astype(np.float64)
-        ubs.append(ub)
-        starts_all.append(sp.first)
-        ends_all.append(sp.last)
 
     # elementary interval sweep over block boundaries
     ev_pos = np.concatenate([np.concatenate(starts_all),

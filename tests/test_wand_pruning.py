@@ -92,3 +92,76 @@ def test_dense_or_uses_bulk_path_and_is_exact():
     want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     docs, scores = wand.wand_disjunction(postings, params, ["a", "b"], k=20)
     assert docs.tolist() == [d for d, _ in want]
+
+
+def test_maxscore_essential_split_exact():
+    """MAXSCORE path (essential/non-essential by global term upper bound,
+    MaxScoreBulkScorer.cpp:28-90): with one rare high-idf term and heavy
+    low-idf terms, only the rare term's postings need full decoding; the
+    result must still be the exact brute-force top-k."""
+    rng = np.random.RandomState(11)
+    n_docs = 50_000
+    doc_space = np.arange(n_docs)
+    max_doc, sttf = n_docs, n_docs * 50
+    postings, params, acc = {}, {}, {}
+    spec = {"rare": 30, "heavy1": 20_000, "heavy2": 25_000}
+    for t, df in spec.items():
+        docs, tfs, norms, row = _make_term(rng, n_docs, df, 3, doc_space)
+        postings[t] = wand._SegmentPostings([row])
+        p = wand.TermScorerParams(
+            np.float32(idf(df, max_doc)),
+            float(avg_field_length(sttf, max_doc)))
+        params[t] = p
+        for d, s in zip(docs, p.score(tfs, norms, False)):
+            acc[int(d)] = np.float32(acc.get(int(d), np.float32(0))) + s
+    want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    decoded = []
+    orig = wand._SegmentPostings.decode_block
+
+    def spy(self, b, want_positions=False):
+        decoded.append((id(self), b))
+        return orig(self, b, want_positions)
+
+    wand._SegmentPostings.decode_block = spy
+    try:
+        stats = {}
+        docs, scores = wand.wand_disjunction(postings, params, list(spec),
+                                             k=10, stats_out=stats)
+    finally:
+        wand._SegmentPostings.decode_block = orig
+
+    assert docs.tolist() == [d for d, _ in want]
+    for s1, (_, s2) in zip(scores.tolist(), want):
+        assert abs(s1 - float(s2)) < 1e-6
+    # the heavy terms' postings must NOT be fully decoded
+    total_blocks = sum(len(postings[t].block_index) for t in spec)
+    assert len(set(decoded)) < 0.5 * total_blocks, \
+        f"maxscore skipped nothing: {len(set(decoded))}/{total_blocks}"
+    assert stats["exact"] is False  # GTE relation: count is a lower bound
+
+
+def test_maxscore_with_banned_docs_exact():
+    """θ must be computed over LIVE docs: banning the probe term's top
+    docs must not prune true top-k survivors."""
+    rng = np.random.RandomState(13)
+    n_docs = 50_000
+    doc_space = np.arange(n_docs)
+    max_doc, sttf = n_docs, n_docs * 50
+    postings, params, acc = {}, {}, {}
+    for t, df in {"rare": 40, "heavy1": 20_000, "heavy2": 25_000}.items():
+        docs, tfs, norms, row = _make_term(rng, n_docs, df, 3, doc_space)
+        postings[t] = wand._SegmentPostings([row])
+        p = wand.TermScorerParams(
+            np.float32(idf(df, max_doc)),
+            float(avg_field_length(sttf, max_doc)))
+        params[t] = p
+        for d, s in zip(docs, p.score(tfs, norms, False)):
+            acc[int(d)] = np.float32(acc.get(int(d), np.float32(0))) + s
+    # ban the 5 best overall docs
+    best = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    banned = np.asarray(sorted(d for d, _ in best[:5]), dtype=np.int64)
+    want = [(d, s) for d, s in best if d not in set(banned.tolist())][:10]
+    docs, scores = wand.wand_disjunction(
+        postings, params, ["rare", "heavy1", "heavy2"], k=10, banned=banned)
+    assert docs.tolist() == [d for d, _ in want]
