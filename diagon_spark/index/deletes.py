@@ -80,13 +80,19 @@ def load_deleted_ids(spark: SparkSession, cat: IndexCatalog) -> list[int]:
 
 def update_documents(spark: SparkSession, cat: IndexCatalog,
                      new_docs: DataFrame, *,
-                     content_col: str = "content") -> IndexCatalog:
+                     content_col: str = "content",
+                     fields: list[str] | None = None) -> IndexCatalog:
     """updateDocument analogue: delete existing docs with the same keys,
     then index the new versions as a fresh segment epoch (delete + add,
-    IndexWriter.h:233)."""
+    IndexWriter.h:233). Fields default to the index's own field set so a
+    multi-field index updates consistently."""
     delete_documents(spark, cat, new_docs.select(*cat.key_cols))
+    # field names equal the column names they were built from, so the
+    # catalog's own field list is the correct default
+    field_cols = fields if fields is not None else cat.fields
     return build_index(
         spark, new_docs, cat.root, num_segments=1,
         num_buckets=cat.num_buckets, key_cols=cat.key_cols,
-        content_col=content_col, positions=cat.has_positions,
+        content_col=content_col, fields=field_cols,
+        positions=cat.has_positions,
         append=True, segment_base=cat.num_segments)

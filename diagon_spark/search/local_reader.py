@@ -146,6 +146,46 @@ class LocalSearcher(PlannerMixin):
         d, s = wand._topk(docs, scores, k)
         return [(int(a), float(b)) for a, b in zip(d, s)]
 
+    def search_with_total(self, query: Query, k: int = 100,
+                          f64: bool = False
+                          ) -> tuple[list[tuple[int, float]], int, str]:
+        """Top-k + TotalHits(+relation) on the serving path — same
+        semantics as Searcher.search_with_total."""
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return [], 0, "eq"
+        if isinstance(q, (MatchAll, Range)):
+            raise NotImplementedError(
+                "MatchAll/Range serve from the docs table — use Searcher")
+        spec = self.plan(q)
+        if spec.get("aux_specs"):
+            raise NotImplementedError(
+                "Range/MatchAll clauses scan the docs table — use Searcher")
+        rows = self._postings_rows(spec["all_terms"],
+                                   spec["need_positions"])
+        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], {}) \
+                .setdefault((r["field"], r["term"]), []).append(r)
+        total, exact = 0, True
+        parts = []
+        for seg_rows in by_seg.values():
+            postings = {key: wand._SegmentPostings(rs)
+                        for key, rs in seg_rows.items()}
+            st: dict = {}
+            parts.append(run_segment_spec(spec, postings, {}, k, f64,
+                                          None, self.deleted,
+                                          stats_out=st))
+            total += int(st.get("total", 0))
+            exact &= bool(st.get("exact", True))
+        if not parts:
+            return [], 0, "eq"
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        d, s = wand._topk(docs, scores, k)
+        return ([(int(a), float(b)) for a, b in zip(d, s)], total,
+                "eq" if exact else "gte")
+
     def count(self, query: Query) -> int:
         q = rewrite(query)
         if isinstance(q, MatchNone):

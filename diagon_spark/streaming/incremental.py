@@ -37,7 +37,8 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str, schema: str, *,
                  segments_per_batch: int = 8, num_buckets: int = 16,
                  key_cols: list[str] | None = None, id_col: str | None = None,
-                 content_col: str = "content", positions: bool = True,
+                 content_col: str = "content",
+                 fields: list[str] | None = None, positions: bool = True,
                  available_now: bool = True):
     """Incrementally index parquet files arriving under source_dir.
 
@@ -60,7 +61,7 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
             batch_df.sparkSession, batch_df, out_dir,
             num_segments=segments_per_batch, num_buckets=num_buckets,
             key_cols=key_cols, id_col=id_col, content_col=content_col,
-            positions=positions, append=exists,
+            fields=fields, positions=positions, append=exists,
             segment_base=base, commit_extra={"stream_epoch": epoch})
 
     stream = (spark.readStream.schema(schema).parquet(source_dir))

@@ -64,3 +64,13 @@ def test_local_respects_deletes(pair):
     s_del = LocalSearcher(s_local.cat, deleted_doc_ids=top2)
     after = [d for d, _ in s_del.search(Term("int"), k=5)]
     assert not set(top2) & set(after)
+
+
+def test_local_search_with_total_parity(pair):
+    s, ls = pair
+    q = Boolean(must=[Term("int")], should=[Term("return")])
+    hits_s, total_s, rel_s = s.search_with_total(q, k=10)
+    hits_l, total_l, rel_l = ls.search_with_total(q, k=10)
+    assert hits_l == hits_s
+    assert total_l == total_s
+    assert rel_l == rel_s
