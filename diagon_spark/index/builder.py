@@ -54,12 +54,10 @@ reference's bloom index (SURVEY §2.3).
 from __future__ import annotations
 
 import json
-import re
 import time
 import zlib
 from dataclasses import dataclass, field as dc_field
 from pathlib import Path
-from typing import Iterable
 
 import numpy as np
 import pandas as pd

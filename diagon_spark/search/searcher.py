@@ -307,12 +307,18 @@ class Searcher(PlannerMixin):
             docs = docs.filter(col <= query.upper)
         return self._mask_deleted(docs) if mask_deletes else docs
 
-    def fetch(self, hits: DataFrame) -> DataFrame:
+    def fetch(self, hits: DataFrame, bulk: bool = False) -> DataFrame:
         """Stored-fields fetch (StoredFieldsReader analogue): attach the
-        docs-table columns to top-k hits. The k doc ids are collected and
-        pushed into the docs scan as an IN filter (parquet row-group
-        stats skip everything else — the .fdx point-lookup analogue),
-        then a broadcast join re-attaches scores."""
+        docs-table columns to top-k hits. Point path (default): the k doc
+        ids are collected and pushed into the docs scan as an IN filter
+        (parquet row-group stats skip everything else — the .fdx
+        point-lookup analogue), then a broadcast join re-attaches scores.
+        bulk=True skips the driver collect entirely (a plain broadcast
+        join) — use when `hits` is large (exports, rerankers)."""
+        if bulk:
+            return (self._docs_src.join(F.broadcast(hits), "doc_id",
+                                        "inner")
+                    .orderBy(F.desc("score"), F.asc("doc_id")))
         ids = [int(r.doc_id) for r in hits.select("doc_id").collect()]
         stored = self._docs_src.filter(F.col("doc_id").isin(ids))
         return (stored.join(F.broadcast(hits), "doc_id", "inner")
