@@ -33,7 +33,7 @@ OR10 = OR5 + ["spark", "order", "column", "hash", "scan"]
 PHRASE = ["fast", "slow"]
 MSM_N = 2
 
-_IDX_VERSION = "v4"  # bump to invalidate cached tmp indexes on format change
+_IDX_VERSION = "v5"  # bump to invalidate cached tmp indexes on format change
 _index_cache: dict[str, object] = {}
 
 

@@ -198,8 +198,11 @@ class IndexCatalog:
             meta = json.loads(by_gen[generation].read_text())
         else:
             meta = json.loads(commits[-1].read_text())
-        from diagon_spark.index.codec import CODEC_NAME, codec_for_name
-        codec_for_name(meta.get("codec", CODEC_NAME))
+        from diagon_spark.index.codec import codec_for_name
+        # commits without a codec key predate the SPI (round-1 format) —
+        # they must be REJECTED with a migration message, not defaulted to
+        # the current name and mis-read
+        codec_for_name(meta.get("codec", "<pre-SPI commit, no codec key>"))
         return IndexCatalog(
             root=root,
             fields=list(meta.get("fields") or ["content"]),
@@ -665,6 +668,17 @@ def rollback(spark: SparkSession, root: str, generation: int
         if not p.exists():
             continue
         df = spark.read.parquet(str(p))
+        if sub == "deleted" and "segment_id" not in df.columns:
+            # pre-r2 tombstone tables carry only doc_id — upgrade via the
+            # (already rolled back, docs is first in the loop) docs table;
+            # tombstones of dropped docs vanish with the inner join
+            docs_now = (spark.read.parquet(str(Path(root, "docs")))
+                        .select("doc_id", "segment_id"))
+            _swap_write(df.select("doc_id").distinct()
+                        .join(docs_now, "doc_id", "inner")
+                        .select(F.col("doc_id").cast("long"),
+                                F.col("segment_id").cast("int")), str(p))
+            continue
         if df.filter(F.col("segment_id") >= cut).limit(1).count() == 0:
             continue
         _swap_write(df.filter(F.col("segment_id") < cut), str(p),

@@ -23,17 +23,32 @@ BLOCK = 128  # docs per block — Lucene104PostingsWriter.h:212-218 (SKIP_INTERV
 # Codec SPI (Codec::forName registry analogue, codecs/Codec.cpp /
 # design/00_ARCHITECTURE_OVERVIEW.md:176-199): the commit manifest records
 # which posting codec wrote the index; readers refuse unknown names
-# instead of mis-decoding. New formats register here under a new name.
-CODEC_NAME = "bitpack128-varint-1"
+# instead of mis-decoding. The name is a FORMAT VERSION: it bumps whenever
+# table schemas or routing functions change, not only the block encoding.
+#   -1: single-field tables (no `field` column, term-only bucketing)
+#   -2: multi-field format — postings/term_dict carry a mandatory `field`
+#       column, stats are per-field rows, term_bucket hashes (field, term),
+#       term_dict is hive-partitioned by bucket
+CODEC_NAME = "bitpack128-varint-2"
 KNOWN_CODECS = {CODEC_NAME}
+# older formats this build can NAME but not READ — rejected with a
+# migration message instead of failing mid-scan on a missing column
+LEGACY_CODECS = {"bitpack128-varint-1", "<pre-SPI commit, no codec key>"}
 
 
 def codec_for_name(name: str) -> str:
-    if name not in KNOWN_CODECS:
+    if name in KNOWN_CODECS:
+        return name
+    if name in LEGACY_CODECS:
         raise ValueError(
-            f"unknown postings codec {name!r}; this build knows "
-            f"{sorted(KNOWN_CODECS)} (Codec::forName analogue)")
-    return name
+            f"index was written by legacy codec {name!r}; this build reads "
+            f"only {sorted(KNOWN_CODECS)}. Rebuild the index (or run a "
+            f"merge_segments compaction with the old build first) — "
+            f"legacy tables lack the per-field columns/bucketing this "
+            f"reader requires (Codec::forName analogue)")
+    raise ValueError(
+        f"unknown postings codec {name!r}; this build knows "
+        f"{sorted(KNOWN_CODECS)} (Codec::forName analogue)")
 
 # ---------------------------------------------------------------- bitpack
 

@@ -167,12 +167,15 @@ def eval_query_oracle(query, field_indexes: dict[str, "OracleIndex"],
                       ) -> dict[int, np.float32]:
     """Evaluate an arbitrary Query tree -> {doc_id: f32 score}; the golden
     oracle for nested booleans / multi-field / range-clause queries.
-    Mirrors the engine's semantics exactly: rewrite() first, f32
-    accumulation in clause order (MUST then SHOULD), minShouldMatch over
-    SHOULD clauses, constant-score Range/MatchAll clauses."""
+    Evaluates the UN-rewritten tree directly (f32 accumulation in clause
+    order — MUST then SHOULD, minShouldMatch over SHOULD clauses,
+    constant-score Range/MatchAll clauses), so the engine's rewrite()
+    simplifications are independently observable: any rewrite that
+    changes match sets, msm counting, or f32 accumulation order shows up
+    as a mismatch here."""
     from diagon_spark.search.query import (Boolean, MatchAll, MatchNone,
-                                           Phrase, Range, Term, rewrite)
-    q = rewrite(query)
+                                           Phrase, Range, Term)
+    q = query
     dv = doc_values or {}
     if all_docs is None:
         any_idx = next(iter(field_indexes.values()))
@@ -234,8 +237,9 @@ def eval_query_oracle(query, field_indexes: dict[str, "OracleIndex"],
                 if d in m:
                     acc = np.float32(acc + m[d])
                     nsh += 1
-            if node.min_should_match >= 1 and node.should \
-                    and nsh < node.min_should_match:
+            # BooleanWeight guard semantics: msm >= 1 requires nsh SHOULD
+            # matches even when the clause list can't supply them
+            if node.min_should_match >= 1 and nsh < node.min_should_match:
                 continue
             out[d] = acc
         return out

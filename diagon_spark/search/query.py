@@ -107,18 +107,28 @@ class MatchNone(Query):
 
 def rewrite(query: Query) -> Query:
     """Query simplification before planning — the BooleanQuery::rewrite
-    loop analogue (search/BooleanQuery.cpp:557, search/Query.h:35). Runs
-    to fixpoint:
+    analogue (search/BooleanQuery.cpp:557-575). The reference's rewrite
+    ONLY rewrites children and never flattens nested booleans: a nested
+    SHOULD disjunction counts as ONE clause toward the parent's
+    min_should_match, and float32 scores accumulate over the ORIGINAL
+    tree shape (clause-order contract, search/BooleanQuery.cpp:119-124).
+    Only semantics- AND score-preserving simplifications happen here:
 
-    * a Boolean with exactly one MUST (or one SHOULD with msm<=1) clause
-      and nothing else rewrites to that clause;
-    * a SHOULD clause that is itself a pure disjunction with msm<=1 is
-      flattened into the parent's SHOULD list;
-    * a MUST clause that is a must-only Boolean is flattened into the
-      parent's MUST list;
-    * FILTER MatchAll clauses are dropped (always true);
     * MUST_NOT MatchAll rewrites the whole Boolean to MatchNone;
-    * empty Booleans (no positive clause) rewrite to MatchNone.
+    * a MUST/FILTER MatchNone clause rewrites the Boolean to MatchNone;
+    * MatchNone dropped from SHOULD / MUST_NOT (it never matches; the
+      per-doc minShouldMatch count is unaffected because a MatchNone
+      clause can never contribute a match);
+    * min_should_match > |SHOULD| rewrites to MatchNone (the
+      BooleanWeight guard: the requirement is unsatisfiable);
+    * FILTER MatchAll dropped ONLY when another required (MUST/FILTER)
+      clause keeps the candidate set. With only SHOULD clauses — or no
+      other positive clause at all — it must stay: a filter MatchAll
+      makes every live doc match at score 0 (+ optional SHOULD scores),
+      the BooleanWeight filter-becomes-required-scorer behavior;
+    * empty Booleans (no positive clause) rewrite to MatchNone;
+    * single-clause unwrap where score-identical (one MUST, or one
+      SHOULD with msm<=1, or a lone FILTER MatchAll -> MatchAll(0.0)).
     """
     if not isinstance(query, Boolean):
         return query
@@ -130,7 +140,6 @@ def rewrite(query: Query) -> Query:
 
     if any(isinstance(q, MatchAll) for q in must_not):
         return MatchNone()
-    filt = [q for q in filt if not isinstance(q, MatchAll)]
     must_not = [q for q in must_not if not isinstance(q, MatchNone)]
 
     # a MUST/FILTER MatchNone clause can never match
@@ -138,36 +147,32 @@ def rewrite(query: Query) -> Query:
         return MatchNone()
     should = [q for q in should if not isinstance(q, MatchNone)]
 
-    # flatten MUST-of-(must-only Boolean)
-    flat_must: list[Query] = []
-    for q in must:
-        if (isinstance(q, Boolean) and q.must and not q.should
-                and not q.must_not and not q.filter):
-            flat_must.extend(q.must)
-        else:
-            flat_must.append(q)
-    must = flat_must
+    # unsatisfiable minShouldMatch (BooleanWeight: optional.size() <
+    # minShouldMatch -> MatchNoDocsQuery)
+    if msm >= 1 and len(should) < msm:
+        return MatchNone()
 
-    # flatten SHOULD-of-pure-disjunction (inner msm<=1)
-    flat_should: list[Query] = []
-    for q in should:
-        if (isinstance(q, Boolean) and q.should and not q.must
-                and not q.must_not and not q.filter
-                and q.min_should_match <= 1):
-            flat_should.extend(q.should)
+    # FILTER MatchAll is redundant only next to another required clause
+    non_ma_filt = [q for q in filt if not isinstance(q, MatchAll)]
+    if len(non_ma_filt) != len(filt):
+        if must or non_ma_filt:
+            filt = non_ma_filt
         else:
-            flat_should.append(q)
-    should = flat_should
+            filt = [*non_ma_filt, MatchAll()]  # keep ONE: required all-docs
 
     if not must and not should and not filt:
         return MatchNone()
 
-    # single-clause unwrap
+    # single-clause unwrap (score-identical: a one-clause f32 sum is the
+    # clause's own score)
     if len(must) == 1 and not should and not must_not and not filt:
         return must[0]
     if (len(should) == 1 and not must and not must_not and not filt
             and msm <= 1):
         return should[0]
+    if (len(filt) == 1 and isinstance(filt[0], MatchAll)
+            and not must and not should and not must_not):
+        return MatchAll(boost=0.0)  # constant-score-all at score 0
 
     return Boolean(must=must, should=should, must_not=must_not,
                    filter=filt, min_should_match=msm)

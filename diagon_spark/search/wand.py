@@ -294,8 +294,18 @@ def wand_disjunction(postings: dict, params: dict,
                 theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
                 suffix = 0.0
                 essential = list(order)
+                # Upward-rounded suffix bound (MathUtil.sumUpperBound
+                # analogue): returned scores accumulate in FLOAT32, so a
+                # doc matching only non-essential terms can round to a
+                # value >= theta even when the f64 sum of the per-term
+                # f32 upper bounds is a hair below it. Inflate by the
+                # worst-case relative error of an n-term f32 sum
+                # (n ulps of 2^-24 each; 2^-23 per term is conservative)
+                # before the suffix < theta pruning test.
+                fudge = 1.0 + (len(terms) + 1) * 2.0 ** -23
                 for i in reversed(order):
-                    if len(essential) > 1 and suffix + g_ub[i] < theta:
+                    if (len(essential) > 1
+                            and (suffix + g_ub[i]) * fudge < theta):
                         suffix += g_ub[i]
                         essential.remove(i)
                     else:
