@@ -96,12 +96,23 @@ def _merge_term_rows(recs: list[dict], has_positions: bool,
     return docs[order], tfs[order], norms[order], deltas
 
 
-def _merge_group_fn(has_positions: bool, num_segments: int,
-                    tombstones: np.ndarray):
+def _merge_group_fn(has_positions: bool, num_segments: int):
+    """Cogrouped merge fn: (postings rows of one (bucket, salt) group,
+    tombstone rows replicated to that group). Tombstones arrive through
+    the shuffle — never a driver collect, never a pickled closure array
+    (the scale-safe pattern of searcher.py's delete cogroup)."""
     from diagon_spark.index.codec import encode_term_postings
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key, pdf: pd.DataFrame, tomb_pdf: pd.DataFrame | None
+              ) -> pd.DataFrame:
+        if tomb_pdf is not None and len(tomb_pdf):
+            tombstones = np.unique(tomb_pdf["doc_id"].to_numpy(np.int64))
+        else:
+            tombstones = np.zeros(0, dtype=np.int64)
         out_rows = []
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
         pdf = pdf.assign(_new_seg=pdf["segment_id"] % num_segments)
         for (new_seg, fld, term), grp in pdf.groupby(
                 ["_new_seg", "field", "term"], sort=False):
@@ -148,11 +159,10 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
     tombstoned docs (the TieredMergePolicy compaction step; num_segments=1
     is forceMerge(1))."""
     from diagon_spark._ship import ensure_shipped
-    from diagon_spark.index.deletes import load_deleted_ids
+    from diagon_spark.index.deletes import deleted_docs_df
     ensure_shipped(spark)
 
-    tombstones = np.asarray(sorted(load_deleted_ids(spark, cat)),
-                            dtype=np.int64)
+    deleted = deleted_docs_df(spark, cat)  # distributed; None if no deletes
     merged = IndexCatalog(root=out_dir, num_buckets=cat.num_buckets,
                           num_segments=num_segments,
                           has_positions=cat.has_positions,
@@ -163,15 +173,32 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
     # would serialize the CPU-heavy merge groups (see builder.py note)
     par = spark.sparkContext.defaultParallelism
     n_salts = max(1, (par * 2 + cat.num_buckets - 1) // cat.num_buckets)
+    n_groups = cat.num_buckets * n_salts
     salted = postings.withColumn(
         "_salt", F.pmod(F.xxhash64("field", "term"), F.lit(n_salts))
         .cast("int"))
-    out = (salted.repartition(cat.num_buckets * n_salts,
-                              F.col("bucket"), F.col("_salt"))
-           .groupBy("bucket", "_salt")
-           .applyInPandas(_merge_group_fn(cat.has_positions, num_segments,
-                                          tombstones),
-                          schema=POSTINGS_SCHEMA))
+    left = (salted.repartition(n_groups, F.col("bucket"), F.col("_salt"))
+            .groupBy("bucket", "_salt"))
+    fn = _merge_group_fn(cat.has_positions, num_segments)
+    if deleted is None:
+        out = left.applyInPandas(
+            lambda key, pdf: fn(key, pdf, None), schema=POSTINGS_SCHEMA)
+    else:
+        # a tombstone has no (field, term) key but affects EVERY term's
+        # postings, so the tombstone table is replicated to each of the
+        # O(cores) merge groups via a broadcast grid cross-join and
+        # COGROUPED in — shuffle volume is tombstones × n_groups tiny
+        # rows, fully distributed (vs. the old driver collect + pickled
+        # closure array, a driver OOM at billions of tombstones)
+        grid = spark.range(n_groups).select(
+            (F.col("id") / n_salts).cast("int").alias("bucket"),
+            F.pmod(F.col("id"), F.lit(n_salts)).cast("int").alias("_salt"))
+        tomb_rep = deleted.select("doc_id").crossJoin(F.broadcast(grid))
+        out = (left.cogroup(
+                   tomb_rep.repartition(n_groups, F.col("bucket"),
+                                        F.col("_salt"))
+                   .groupBy("bucket", "_salt"))
+               .applyInPandas(fn, schema=POSTINGS_SCHEMA))
     w = (out.repartition(cat.num_buckets, F.col("bucket"))
          .write.mode("overwrite"))
     for k_, v_ in _BLOOM_OPTS.items():
@@ -182,16 +209,18 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
         .withColumn("segment_id",
                     F.pmod(F.col("segment_id"), F.lit(num_segments))
                     .cast("int"))
-    if len(tombstones):
-        tomb_df = spark.createDataFrame(
-            [(int(t),) for t in tombstones], "doc_id long")
-        docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    n_purged = 0
+    if deleted is not None:
+        # distributed anti-join purge (no createDataFrame(list) literal);
+        # Catalyst/AQE picks broadcast vs shuffle by tombstone size
+        docs = docs.join(deleted.select("doc_id"), "doc_id", "left_anti")
+        n_purged = int(deleted.count())
     docs.write.mode("overwrite").parquet(merged.docs_path)
     docs_idx = spark.read.parquet(merged.docs_path)
     _refresh_term_dict_and_stats(spark, merged, merged.fields,
                                  docs_idx=docs_idx, new_docs_idx=docs_idx,
                                  append=False, segment_base=0)
-    merged.commit({"merged_from": cat.root, "purged": int(len(tombstones))})
+    merged.commit({"merged_from": cat.root, "purged": n_purged})
     return merged
 
 
