@@ -692,6 +692,32 @@ def rollback(spark: SparkSession, root: str, generation: int
     return old
 
 
+def _swap_write_buckets(df: DataFrame, path: str, buckets: list[int],
+                        options: dict | None = None) -> None:
+    """Overwrite ONLY the given bucket=N partition dirs of a
+    bucket-partitioned table: stage the (bucket-partitioned) df to
+    `<path>.swap`, then atomically swap the touched bucket dirs. The
+    append-path term_dict maintenance — untouched buckets are never read
+    or rewritten. (Object-store form: Iceberg dynamic partition
+    overwrite.)"""
+    import shutil
+    tmp = path + ".swap"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.partitionBy("bucket").parquet(tmp)
+    for b in buckets:
+        src = Path(tmp, f"bucket={b}")
+        dst = Path(path, f"bucket={b}")
+        if dst.exists():
+            shutil.rmtree(dst)
+        if src.exists():
+            src.rename(dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
                                  field_names: list[str], *,
                                  docs_idx: DataFrame,
@@ -700,11 +726,15 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
                                  stats_acc: dict | None = None) -> None:
     """Term dictionary + per-field collection stats.
 
-    Fresh build: one global shuffle agg over all postings (the k-way
-    SegmentMerger heap is Spark's sort-merge shuffle). Append: aggregate
-    ONLY the new segments (parquet pushdown on segment_id skips old
-    row groups) and merge-add into the existing tables — df/cttf/sttf are
-    additive, so incremental maintenance is exact.
+    term_dict is hive-partitioned by `bucket`. Fresh build: one global
+    shuffle agg over all postings (the k-way SegmentMerger heap is
+    Spark's sort-merge shuffle). Append: aggregate ONLY the new segments
+    (parquet pushdown on segment_id skips old row groups), merge-add into
+    ONLY the bucket partitions those terms hash to, and swap just those
+    bucket dirs — maintenance cost is O(touched vocabulary), not
+    O(global vocabulary), per micro-batch (the per-segment SegmentInfos
+    stats model, summed at write time instead of read time). df/cttf/
+    sttf/sum_doc_freq are additive, so incremental maintenance is exact.
     """
     pdf = spark.read.parquet(cat.postings_path)
     if append:
@@ -712,17 +742,28 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
     new_td = (pdf.groupBy("field", "term", "bucket")
               .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf")))
     td_exists = Path(cat.term_dict_path).exists()
+    sdf_delta: dict[str, int] = {}
     if append and td_exists:
-        old_td = spark.read.parquet(cat.term_dict_path)
-        merged = (old_td.unionByName(new_td)
+        new_td = new_td.persist()
+        # one tiny collect (<= fields × buckets rows): which bucket
+        # partitions this epoch touches + per-field df deltas for the
+        # additive sum_doc_freq update (no global term_dict scan)
+        agg_rows = (new_td.groupBy("field", "bucket")
+                    .agg(F.sum("df").alias("sdf")).collect())
+        touched = sorted({int(r.bucket) for r in agg_rows})
+        for r in agg_rows:
+            sdf_delta[r.field] = sdf_delta.get(r.field, 0) + int(r.sdf)
+        old_sub = (spark.read.parquet(cat.term_dict_path)
+                   .filter(F.col("bucket").isin(touched)))  # partition prune
+        merged = (old_sub.unionByName(new_td)
                   .groupBy("field", "term", "bucket")
                   .agg(F.sum("df").alias("df"), F.sum("cttf").alias("cttf")))
-        _swap_write(merged, cat.term_dict_path, options=_BLOOM_OPTS)
+        _swap_write_buckets(merged, cat.term_dict_path, touched,
+                            options=_BLOOM_OPTS)
+        new_td.unpersist()
     else:
-        w = new_td.write.mode("overwrite")
-        for k_, v_ in _BLOOM_OPTS.items():
-            w = w.option(k_, v_)
-        w.parquet(cat.term_dict_path)
+        _swap_write(new_td, cat.term_dict_path, partition_by="bucket",
+                    options=_BLOOM_OPTS)
 
     # per-field stats: (field, max_doc, doc_count, sum_total_term_freq,
     # sum_doc_freq). max_doc/doc_count are global doc counts (the
@@ -741,14 +782,22 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
         n_new = int(row["__n"])
         sttf_new = {fn_: int(row[f"__s_{i}"] or 0)
                     for i, fn_ in enumerate(field_names)}
-    sdf_rows = (spark.read.parquet(cat.term_dict_path)
-                .groupBy("field").agg(F.sum("df").alias("sdf")).collect())
-    sum_doc_freq = {r.field: int(r.sdf) for r in sdf_rows}
-
     old_stats: dict[str, dict] = {}
     if append and Path(cat.stats_path).exists():
         for r in spark.read.parquet(cat.stats_path).collect():
             old_stats[r.field] = r.asDict()
+
+    if append and td_exists:
+        # additive: merged df sums = old sums + this epoch's df sums —
+        # no O(vocabulary) term_dict rescan per micro-batch
+        sum_doc_freq = {f: int(p.get("sum_doc_freq", 0)) + sdf_delta.get(f, 0)
+                        for f, p in old_stats.items()}
+        for f, d in sdf_delta.items():
+            sum_doc_freq.setdefault(f, d)
+    else:
+        sdf_rows = (spark.read.parquet(cat.term_dict_path)
+                    .groupBy("field").agg(F.sum("df").alias("sdf")).collect())
+        sum_doc_freq = {r.field: int(r.sdf) for r in sdf_rows}
     rows = []
     for fn_ in field_names:
         prev = old_stats.get(fn_, {})

@@ -54,7 +54,8 @@ class LocalSearcher(PlannerMixin):
         self.max_doc = max((int(r["max_doc"]) for r in srows), default=0)
         self._postings_ds = ds.dataset(catalog.postings_path,
                                        partitioning="hive")
-        self._term_dict_ds = ds.dataset(catalog.term_dict_path)
+        self._term_dict_ds = ds.dataset(catalog.term_dict_path,
+                                        partitioning="hive")
         self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         tomb: set[int] = set(deleted_doc_ids or [])
         from pathlib import Path

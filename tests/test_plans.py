@@ -70,7 +70,7 @@ def test_term_granule_skip_bloom_or_dictionary(searcher, spark):
     conf = spark._jsc.hadoopConfiguration()
     checked = 0
     for pattern in (f"{searcher.cat.postings_path}/*/*.parquet",
-                    f"{searcher.cat.term_dict_path}/*.parquet"):
+                    f"{searcher.cat.term_dict_path}/*/*.parquet"):
         f = sorted(glob.glob(pattern))[0]
         inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             jvm.org.apache.hadoop.fs.Path(f), conf)

@@ -66,6 +66,51 @@ def test_append_incremental_stats_match_full_rebuild(spark, tmp_path):
     assert st_a == st_b
 
 
+def test_append_rewrites_only_touched_term_dict_buckets(spark, tmp_path):
+    """term_dict is hive-partitioned by bucket; an append epoch must swap
+    ONLY the bucket dirs its new terms hash to — O(touched vocabulary)
+    maintenance per micro-batch, not an O(global vocabulary) rewrite
+    (round-2 VERDICT scale hazard #2)."""
+    import glob
+    import os
+
+    from diagon_spark.index.builder import term_bucket
+
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, 80)), out,
+                num_segments=2, num_buckets=8, positions=False)
+
+    def listing():
+        state = {}
+        for d in sorted(glob.glob(f"{out}/term_dict/bucket=*")):
+            b = int(d.split("=")[-1])
+            state[b] = sorted((os.path.basename(f), os.path.getmtime(f))
+                              for f in glob.glob(f"{d}/*.parquet"))
+        return state
+
+    before = listing()
+    assert len(before) >= 4  # the 80-doc Zipf corpus hits most buckets
+
+    # an epoch whose vocabulary is ONE term -> exactly one touched bucket
+    solo = spark.createDataFrame(
+        [("r_solo", "p_solo", "c_solo", "py", "zzsolo zzsolo zzsolo")],
+        "repo string, path string, commit string, lang string, content string")
+    build_index(spark, solo, out, num_segments=1, num_buckets=8,
+                positions=False, append=True, segment_base=2)
+    after = listing()
+
+    tb = term_bucket("zzsolo", 8, "content")
+    changed = {b for b in set(before) | set(after)
+               if before.get(b) != after.get(b)}
+    assert changed == {tb}, (changed, tb)
+
+    # and the merged stats are still exact
+    s = Searcher(spark, IndexCatalog.load(out))
+    assert s.count(MatchAll()) == 81
+    key = (s.default_field, "zzsolo")
+    assert s.term_stats([key])[key] == (1, 3)
+
+
 def test_append_scan_prunes_old_segments(spark, tmp_path):
     """The append-time term_dict aggregation reads only new-segment rows:
     its scan carries a pushed segment_id >= base predicate, so parquet
