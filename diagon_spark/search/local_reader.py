@@ -15,12 +15,17 @@ substrates:
   committed tables, suitable for a serving tier that mounts the index
   (exactly how the reference is embedded as a library via its C API).
 
-Nested boolean/phrase trees are served too; Range/MatchAll CLAUSES are
-not (they scan the docs table — use Searcher). Deletes are kept as an
-in-memory id set here (serving-tier indexes carry top-k-scale delete
-sets between compactions).
+Nested boolean/phrase trees are served too, INCLUDING Range/MatchAll
+clauses: aux doc sets materialize from a pyarrow doc-values scan of the
+docs table (same pattern as `_postings_rows` — parquet row-group stats
+prune the range scan), split per segment exactly like the Spark path's
+cogroup. count() runs the same count-only tree evaluation the Spark
+path uses (no top-k materialization). Deletes are kept as an in-memory
+id set here (serving-tier indexes carry top-k-scale delete sets between
+compactions).
 
-Correctness contract: identical results to Searcher (tested).
+Correctness contract: identical results to Searcher (tested, incl. the
+fuzz parity suite with aux clauses).
 """
 
 from __future__ import annotations
@@ -56,6 +61,7 @@ class LocalSearcher(PlannerMixin):
                                        partitioning="hive")
         self._term_dict_ds = ds.dataset(catalog.term_dict_path,
                                         partitioning="hive")
+        self._docs_ds = ds.dataset(catalog.docs_path)
         self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         tomb: set[int] = set(deleted_doc_ids or [])
         from pathlib import Path
@@ -104,6 +110,77 @@ class LocalSearcher(PlannerMixin):
                     & pc.field("term").isin(sorted({t for _, t in pairs}))))
         return tbl.to_pylist()
 
+    # ---------------------------------------------- aux doc-value scans
+
+    def _docs_scan(self, q: Query, columns: list[str]):
+        """pyarrow scan of the docs table for a Range/MatchAll clause —
+        parquet row-group stats prune the range predicate (the same
+        BKD-style skipping the Spark path gets from Catalyst)."""
+        if isinstance(q, MatchAll):
+            flt = None
+        else:
+            flt = None
+            if q.lower is not None:
+                flt = pc.field(q.field) >= q.lower
+            if q.upper is not None:
+                c = pc.field(q.field) <= q.upper
+                flt = c if flt is None else (flt & c)
+        return self._docs_ds.to_table(columns=columns, filter=flt)
+
+    def _matching_doc_ids(self, q: Query) -> np.ndarray:
+        """doc_ids matching a top-level Range/MatchAll (deletes masked,
+        sorted asc)."""
+        tbl = self._docs_scan(q, columns=["doc_id"])
+        ids = np.sort(tbl.column("doc_id").to_numpy().astype(np.int64))
+        if len(self.deleted):
+            ids = ids[~np.isin(ids, self.deleted)]
+        return ids
+
+    def _aux_by_segment(self, aux_specs) -> dict[int, dict[int, np.ndarray]]:
+        """Materialize each Range/MatchAll clause's doc set, split per
+        segment — the pyarrow analogue of the Spark path's cogrouped aux
+        DataFrames."""
+        out: dict[int, dict[int, np.ndarray]] = {}
+        for i, q in enumerate(aux_specs):
+            tbl = self._docs_scan(q, columns=["doc_id", "segment_id"])
+            segs = tbl.column("segment_id").to_numpy().astype(np.int64)
+            dids = tbl.column("doc_id").to_numpy().astype(np.int64)
+            for s in np.unique(segs):
+                out.setdefault(int(s), {})[i] = np.unique(dids[segs == s])
+        return out
+
+    # ----------------------------------------------------------- search
+
+    def _run_segments(self, spec: dict, k: int, f64: bool, after,
+                      stats_list: list | None = None):
+        """Per-segment execution of a planned spec (postings + aux sets).
+
+        Sequential over segments: measured that a thread pool GIL-thrashes
+        here (scoring is many small numpy calls, not GIL-releasing bulk
+        kernels) — 8 threads ran 8x SLOWER than one. Concurrency for a
+        serving tier comes from running many queries in parallel
+        processes, like the reference's one-thread-per-search model."""
+        rows = self._postings_rows(spec["all_terms"],
+                                   spec["need_positions"])
+        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], {}) \
+                .setdefault((r["field"], r["term"]), []).append(r)
+        aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
+                      if spec.get("aux_specs") else {})
+        results = []
+        for seg in sorted(set(by_seg) | set(aux_by_seg)):
+            postings = {key: wand._SegmentPostings(rs)
+                        for key, rs in by_seg.get(seg, {}).items()}
+            st: dict | None = {} if stats_list is not None else None
+            results.append(run_segment_spec(spec, postings,
+                                            aux_by_seg.get(seg, {}), k, f64,
+                                            after, self.deleted,
+                                            stats_out=st))
+            if stats_list is not None:
+                stats_list.append(st)
+        return results
+
     def search(self, query: Query, k: int = 100, f64: bool = False,
                after: tuple[float, int] | None = None
                ) -> list[tuple[int, float]]:
@@ -112,38 +189,15 @@ class LocalSearcher(PlannerMixin):
         if isinstance(q, MatchNone):
             return []
         if isinstance(q, (MatchAll, Range)):
-            raise NotImplementedError(
-                "MatchAll/Range serve from the docs table — use Searcher")
+            ids = self._matching_doc_ids(q)[:k]
+            return [(int(d), float(q.boost)) for d in ids]
         spec = self.plan(q)
-        if spec.get("aux_specs"):
-            raise NotImplementedError(
-                "Range/MatchAll clauses inside a boolean scan the docs "
-                "table — use Searcher")
-        rows = self._postings_rows(spec["all_terms"],
-                                   spec["need_positions"])
-        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
-        for r in rows:
-            by_seg.setdefault(r["segment_id"], {}) \
-                .setdefault((r["field"], r["term"]), []).append(r)
-        banned = self.deleted
-
-        # sequential over segments: measured that a thread pool GIL-thrashes
-        # here (scoring is many small numpy calls, not GIL-releasing bulk
-        # kernels) — 8 threads ran 8x SLOWER than one. Concurrency for a
-        # serving tier comes from running many queries in parallel
-        # processes, like the reference's one-thread-per-search model.
-        results = []
-        for seg_rows in by_seg.values():
-            postings = {key: wand._SegmentPostings(rs)
-                        for key, rs in seg_rows.items()}
-            results.append(run_segment_spec(spec, postings, {}, k, f64,
-                                            after, banned))
+        results = self._run_segments(spec, k, f64, after)
         all_docs = [d for d, _ in results]
-        all_scores = [s for _, s in results]
         if not all_docs:
             return []
         docs = np.concatenate(all_docs)
-        scores = np.concatenate(all_scores)
+        scores = np.concatenate([s for _, s in results])
         d, s = wand._topk(docs, scores, k)
         return [(int(a), float(b)) for a, b in zip(d, s)]
 
@@ -156,29 +210,14 @@ class LocalSearcher(PlannerMixin):
         if isinstance(q, MatchNone):
             return [], 0, "eq"
         if isinstance(q, (MatchAll, Range)):
-            raise NotImplementedError(
-                "MatchAll/Range serve from the docs table — use Searcher")
+            ids = self._matching_doc_ids(q)
+            return ([(int(d), float(q.boost)) for d in ids[:k]],
+                    int(len(ids)), "eq")
         spec = self.plan(q)
-        if spec.get("aux_specs"):
-            raise NotImplementedError(
-                "Range/MatchAll clauses scan the docs table — use Searcher")
-        rows = self._postings_rows(spec["all_terms"],
-                                   spec["need_positions"])
-        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
-        for r in rows:
-            by_seg.setdefault(r["segment_id"], {}) \
-                .setdefault((r["field"], r["term"]), []).append(r)
-        total, exact = 0, True
-        parts = []
-        for seg_rows in by_seg.values():
-            postings = {key: wand._SegmentPostings(rs)
-                        for key, rs in seg_rows.items()}
-            st: dict = {}
-            parts.append(run_segment_spec(spec, postings, {}, k, f64,
-                                          None, self.deleted,
-                                          stats_out=st))
-            total += int(st.get("total", 0))
-            exact &= bool(st.get("exact", True))
+        stats: list[dict] = []
+        parts = self._run_segments(spec, k, f64, None, stats_list=stats)
+        total = sum(int(st.get("total", 0)) for st in stats)
+        exact = all(bool(st.get("exact", True)) for st in stats)
         if not parts:
             return [], 0, "eq"
         docs = np.concatenate([d for d, _ in parts])
@@ -188,6 +227,9 @@ class LocalSearcher(PlannerMixin):
                 "eq" if exact else "gte")
 
     def count(self, query: Query) -> int:
+        """Count-only path — the TotalHitCountCollector analogue: the
+        same force_tree count evaluation the Spark path runs (no top-k
+        materialization, no scoring sort), summed over segments."""
         q = rewrite(query)
         if isinstance(q, MatchNone):
             return 0
@@ -196,4 +238,23 @@ class LocalSearcher(PlannerMixin):
             return self.term_stats([key])[key][0]
         if isinstance(q, MatchAll):
             return self.max_doc - len(self.deleted)
-        return len(self.search(q, k=self.max_doc + 1))
+        if isinstance(q, Range):
+            return int(len(self._matching_doc_ids(q)))
+        spec = self.plan(q, force_tree=True)
+        rows = self._postings_rows(spec["all_terms"],
+                                   spec["need_positions"])
+        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], {}) \
+                .setdefault((r["field"], r["term"]), []).append(r)
+        aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
+                      if spec.get("aux_specs") else {})
+        total = 0
+        for seg in sorted(set(by_seg) | set(aux_by_seg)):
+            postings = {key: wand._SegmentPostings(rs)
+                        for key, rs in by_seg.get(seg, {}).items()}
+            docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
+                                     aux_by_seg.get(seg, {}), False)
+            keep = wand._mask_banned(docs, self.deleted)
+            total += int(keep.sum()) if keep is not None else int(len(docs))
+        return total

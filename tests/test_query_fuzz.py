@@ -98,24 +98,17 @@ def test_random_tree_matches_oracle(fz, seed):
 
 @pytest.mark.parametrize("seed", range(30, 42))
 def test_random_tree_local_parity(fz, seed):
-    """LocalSearcher serves the same nested trees identically (skipping
-    queries with Range/MatchAll clauses, which need the docs table)."""
+    """LocalSearcher serves the same nested trees identically — INCLUDING
+    Range/MatchAll clauses, which materialize from a pyarrow doc-values
+    scan of the docs table (the serving-path parity the reference gets
+    from one IndexSearcher serving every query type)."""
     s, cat, ctx = fz
     rng = random.Random(seed)
     q = _rand_query(rng)
-
-    def has_aux(n):
-        if isinstance(n, (Range, MatchAll)):
-            return True
-        if isinstance(n, Boolean):
-            return any(has_aux(c) for c in
-                       (*n.must, *n.should, *n.must_not, *n.filter))
-        return False
-
-    if has_aux(q):
-        pytest.skip("aux clauses need the docs table")
     local = LocalSearcher(cat)
     got_local = local.search(q, k=25)
     got_spark = [(int(r.doc_id), float(r.score))
                  for r in s.search(q, k=25).collect()]
     assert got_local == got_spark, q
+    # count-only path parity (no top-k materialization on either side)
+    assert local.count(q) == s.count(q), q
