@@ -278,6 +278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             postings, {"data": 2.0, "table": 1.0, "window": 1.5,
                        "line": 0.2, "join": 0.1}, k=20)
 
+    def sparse_qblock(spark, sf):
+        # doc-window (QBlock) granular pruning: result-identical to the
+        # exhaustive scatter-add; windows whose summed block maxima fall
+        # under theta are never aggregated
+        from diagon_spark.pipelines import sparse
+        postings = sparse.build_value_postings(_docs(spark, sf))
+        return sparse.sparse_topk_qblock(
+            postings, {"data": 2.0, "table": 1.0, "window": 1.5,
+                       "line": 0.2, "join": 0.1}, k=20, window=64)
+
     def blob_meta(spark, sf):
         return multimodal.blob_metadata(multimodal.to_blob(_docs(spark, sf)))
 
@@ -322,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "sparse_topk": sparse_topk,
         "sparse_maxscore": sparse_maxscore,
+        "sparse_qblock": sparse_qblock,
         "blob_meta": blob_meta,
         "decode_image_fake": decode_image_fake,
         "frame_sample": frame_sample,
@@ -740,6 +751,9 @@ FROM documents GROUP BY md5(text)""",
         "sparse_maxscore": _sparse_sql({"data": 2.0, "table": 1.0,
                                         "window": 1.5, "line": 0.2,
                                         "join": 0.1}, 20),
+        "sparse_qblock": _sparse_sql({"data": 2.0, "table": 1.0,
+                                      "window": 1.5, "line": 0.2,
+                                      "join": 0.1}, 20),
         "blob_meta": """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(CASE WHEN length(text) = 0 THEN -1

@@ -144,6 +144,94 @@ def sparse_topk_maxscore(postings: DataFrame, query: dict[str, float],
             .orderBy(F.desc("dot"), F.asc("doc_id")).limit(k))
 
 
+def window_meta(postings: DataFrame, window: int = 4096) -> DataFrame:
+    """Per-(term, doc-window) maxima — the QBlock per-block impact table
+    at its real granularity (sparse/QBlockIndex.h:21-139): win =
+    doc_id // window, max over the term's weights inside that window.
+    If the postings carry quantized weights (quantize_weights), the
+    maxima use the DEQUANTIZED sound upper bounds qweight·scale >= weight
+    (index/BlockMaxQuantizedIndex.h:56-89) — pruning bounds stay sound.
+    On a cluster this table is written once next to the postings
+    (vocab × windows rows, ~postings/window in size)."""
+    w = (F.col("qweight") * F.col("scale")
+         if "qweight" in postings.columns else F.col("weight"))
+    return (postings
+            .withColumn("win", F.floor(F.col("doc_id") / window))
+            .groupBy("term", "win")
+            .agg(F.max(w).alias("max_weight")))
+
+
+def sparse_topk_qblock(postings: DataFrame, query: dict[str, float],
+                       k: int = 10, window: int = 4096,
+                       wmeta: DataFrame | None = None) -> DataFrame:
+    """EXACT top-k with BLOCK-granular (doc-window) pruning — the QBlock
+    / BlockMaxQuantizedIndex semantics (sparse/QBlockIndex.h:21-139,
+    index/BlockMaxQuantizedIndex.h:56-89):
+
+    1. θ = k-th exact score of the largest-ub term's postings (lower
+       bound on the final k-th score, as in sparse_topk_maxscore);
+    2. window upper bound ub(w) = Σ_t q_w(t)·block_max(t, w); a window
+       with ub(w) < θ cannot hold a top-k doc (every doc's score is
+       bounded by its window's ub), and the probe's top-k docs sit in
+       windows with ub >= θ, so pruning is sound;
+    3. only surviving windows' postings rows are aggregated (a tiny
+       broadcast semi-join on win).
+
+    This prunes where term-granularity MaxScore cannot: a term whose
+    single outlier weight inflates its GLOBAL max to ub >= θ makes the
+    whole term essential at term granularity, but only the outlier's
+    window survives here. Results are bit-identical to the exhaustive
+    sparse_topk — only work is skipped, never weight."""
+    m = (wmeta if wmeta is not None else window_meta(postings, window))
+    m = m.filter(F.col("term").isin(list(query)))
+    qmap = F.create_map(*[F.lit(x) for kv in query.items() for x in kv])
+
+    # per-term GLOBAL ubs (max over windows) -> θ probe term
+    rows = (m.groupBy("term").agg(F.max("max_weight").alias("mw"))
+            .collect())
+    ubs = sorted(((float(query[r.term]) * float(r.mw), r.term)
+                  for r in rows), reverse=True)
+    if not ubs:
+        return (postings.select(F.col("doc_id"),
+                                F.lit(0.0).alias("score"))
+                .filter(F.lit(False)))
+    t0 = ubs[0][1]
+    probe = (postings.filter(F.col("term") == t0)
+             .select("doc_id",
+                     (F.lit(float(query[t0])) * F.col("weight"))
+                     .alias("s"))
+             .orderBy(F.desc("s")).limit(k).collect())
+    theta = float(probe[-1].s) if len(probe) >= k else float("-inf")
+
+    qp = (postings.filter(F.col("term").isin(list(query)))
+          .withColumn("win", F.floor(F.col("doc_id") / window)))
+    if theta > float("-inf"):
+        live = (m.withColumn("ub", qmap[F.col("term")]
+                             * F.col("max_weight"))
+                .groupBy("win").agg(F.sum("ub").alias("win_ub"))
+                .filter(F.col("win_ub") >= theta)
+                .select("win"))
+        qp = qp.join(F.broadcast(live), "win", "left_semi")
+    hits = (qp.select("doc_id",
+                      (qmap[F.col("term")] * F.col("weight")).alias("part"))
+            .groupBy("doc_id").agg(F.sum("part").alias("dot")))
+    return (hits.select("doc_id", F.round("dot", 6).alias("score"))
+            .orderBy(F.desc("dot"), F.asc("doc_id")).limit(k))
+
+
+def qblock_live_windows(postings: DataFrame, query: dict[str, float],
+                        theta: float, window: int = 4096,
+                        wmeta: DataFrame | None = None) -> set[int]:
+    """Diagnostic: the windows surviving θ-pruning (test observability)."""
+    m = (wmeta if wmeta is not None else window_meta(postings, window))
+    qmap = F.create_map(*[F.lit(x) for kv in query.items() for x in kv])
+    live = (m.filter(F.col("term").isin(list(query)))
+            .withColumn("ub", qmap[F.col("term")] * F.col("max_weight"))
+            .groupBy("win").agg(F.sum("ub").alias("win_ub"))
+            .filter(F.col("win_ub") >= theta))
+    return {int(r.win) for r in live.select("win").collect()}
+
+
 def sparse_topk(postings: DataFrame, query: dict[str, float],
                 k: int = 10) -> DataFrame:
     """Top-k docs by sparse dot product with the query vector.
