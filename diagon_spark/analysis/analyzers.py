@@ -78,10 +78,12 @@ def ascii_folding_filter():
 
 
 def synonym_filter(synonyms: dict[str, list[str]]):
-    """Expand-mode synonyms: a matching token additionally emits its
-    synonyms at the same position semantics (appended; positions are
-    assigned downstream by enumeration, so same-position semantics are
-    approximated by adjacency — documented divergence)."""
+    """Flat expand-mode synonyms (QUERY-time chains, where a flat term
+    list feeds disjunctions and positions don't exist). For INDEX-time
+    expansion use synonym_analyzer / positioned_synonym_filter, which
+    emit expansions at the SAME position (SynonymFilter.cpp
+    position-increment-0 semantics) so phrase queries match across
+    synonyms."""
     def f(tokens: pd.Series) -> pd.Series:
         def expand(ts):
             out = []
@@ -91,6 +93,38 @@ def synonym_filter(synonyms: dict[str, list[str]]):
             return out
         return tokens.map(expand)
     return f
+
+
+def positioned_synonym_filter(synonyms: dict[str, list[str]]):
+    """SynonymFilter.cpp semantics (analysis/SynonymFilter.cpp): each
+    expansion is emitted at the SAME position as the matched token
+    (position increment 0). Consumes flat tokens, emits (token, position)
+    pairs — chain it LAST; the index builder detects pair-emitting
+    analyzers via the `emits_positions` attribute and uses the supplied
+    positions instead of enumerating."""
+    def f(tokens: pd.Series) -> pd.Series:
+        def expand(ts):
+            out = []
+            for pos, t in enumerate(ts):
+                out.append((t, pos))
+                for s in synonyms.get(t, ()):
+                    out.append((s, pos))
+            return out
+        return tokens.map(expand)
+    return f
+
+
+def synonym_analyzer(synonyms: dict[str, list[str]] | None = None,
+                     base: Analyzer | None = None) -> Analyzer:
+    """INDEX-time synonym expansion with same-position semantics: a doc
+    containing "fn run" indexes fn@0, function@0, run@1 — so
+    Phrase("function", "run") matches it and Phrase("fn", "function")
+    does NOT (they share a position). Token count (and thus norms/doc
+    length) includes expansions, matching FieldInvertState.length."""
+    az = chain(base or standard_analyzer,
+               positioned_synonym_filter(synonyms or DEFAULT_SYNONYMS))
+    az.emits_positions = True
+    return az
 
 
 def chain(analyzer: Analyzer, *filters) -> Analyzer:
@@ -148,6 +182,30 @@ def _mixed_tokenize(text: str, segmenter=None) -> list[str]:
     return out
 
 
+def dict_segmenter(words: list[str]):
+    """Greedy longest-match dictionary segmenter — a deterministic
+    stand-in with jieba.lcut's call signature (JiebaTokenizer.cpp's
+    dictionary mode). Unmatched characters pass through singly. Use for
+    tests/air-gapped runs; on a cluster pass jieba.lcut itself as the
+    segmenter."""
+    by_len = sorted(set(words), key=len, reverse=True)
+
+    def seg(run: str) -> list[str]:
+        out, i = [], 0
+        while i < len(run):
+            for w in by_len:
+                if run.startswith(w, i):
+                    out.append(w)
+                    i += len(w)
+                    break
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+
+    return seg
+
+
 def chinese_analyzer(segmenter=None) -> Analyzer:
     """`chinese` analyzer (AnalyzerFactory.cpp:38-52). The reference
     segments with Jieba; here CJK runs become overlapping character
@@ -198,6 +256,7 @@ ANALYZERS: dict[str, Callable[[], Analyzer]] = {
     "chinese": chinese_analyzer,
     "multilingual": multilingual_analyzer,
     "search": search_analyzer,
+    "synonym": synonym_analyzer,
 }
 
 

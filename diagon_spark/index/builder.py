@@ -262,10 +262,14 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
     millions of small objects through UnsafeRow/Arrow/pandas boundaries."""
 
     # default path tokenizes to BYTES (no python str churn; only the
-    # per-segment vocabulary is decoded); custom analyzers use str lists
+    # per-segment vocabulary is decoded); custom analyzers use str lists.
+    # Analyzers marked emits_positions return (token, position) pairs
+    # (same-position synonym semantics, SynonymFilter.cpp) — positions
+    # come from the analyzer instead of enumeration.
     from diagon_spark.analysis.tokenizer import tokenize_series_bytes
     tok_fn = analyzer or tokenize_series_bytes
     bytes_tokens = analyzer is None
+    positioned = bool(getattr(analyzer, "emits_positions", False))
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         segment_id = int(key[0])
@@ -279,8 +283,13 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
         if total == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         from itertools import chain
-        flat_tokens = np.fromiter(chain.from_iterable(tok_lists),
-                                  dtype=object, count=total)
+        if positioned:
+            flat_tokens = np.fromiter(
+                (tp[0] for tp in chain.from_iterable(tok_lists)),
+                dtype=object, count=total)
+        else:
+            flat_tokens = np.fromiter(chain.from_iterable(tok_lists),
+                                      dtype=object, count=total)
         # hash-factorize token strings once (O(n)); all heavy sorting and
         # grouping then runs on int ids — string comparisons only over the
         # (small) per-segment vocabulary
@@ -293,9 +302,15 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
 
         docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
         norms = np.repeat(encode_norm(lens).astype(np.int64), lens)
-        # position of each token within its doc: arange minus doc start
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        if positioned:
+            # analyzer-supplied positions (same-position synonyms share one)
+            poss = np.fromiter(
+                (tp[1] for tp in chain.from_iterable(tok_lists)),
+                dtype=np.int64, count=total)
+        else:
+            # position of each token within its doc: arange minus doc start
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
         # sort by (term, doc, pos) — the deferred term sort of FreqProx flush
         order = np.lexsort((poss, docs, term_ids))

@@ -20,13 +20,16 @@ from diagon_spark.search import bm25
 
 
 class OracleIndex:
-    def __init__(self, docs: dict[int, str]):
-        """docs: doc_id -> content."""
+    def __init__(self, docs: dict[int, str], tokenizer=None):
+        """docs: doc_id -> content. `tokenizer` overrides the standard
+        tokenizer (e.g. a CJK dictionary segmenter chain) so the oracle
+        models custom-analyzer indexes too."""
         self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
         self.norm: dict[int, int] = {}
+        tok_fn = tokenizer or tokenize
         for doc_id, content in docs.items():
-            toks = tokenize(content)
+            toks = tok_fn(content)
             self.doc_len[doc_id] = len(toks)
             self.norm[doc_id] = int(encode_norm(np.array([len(toks)]))[0])
             for pos, t in enumerate(toks):
