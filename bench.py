@@ -25,11 +25,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
 
 
-def _session(reuse_workers: bool):
+def _session(reuse_workers: bool, cores: int | str | None = None):
     from pyspark.sql import SparkSession
-    return (SparkSession.builder.master(f"local[{CPUS}]")
+    c = str(cores if cores is not None else CPUS)
+    return (SparkSession.builder.master(f"local[{c}]")
             .appName("diagon-bench")
-            .config("spark.sql.shuffle.partitions", CPUS)
+            .config("spark.sql.shuffle.partitions", c)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.driver.memory", "48g")
             # build config: fresh python worker per task (long-lived
@@ -115,6 +116,43 @@ def main() -> None:
     similarity.cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
     timings["knn_cosine"] = time.time() - t
 
+    # ---- Block-Max pruning on a skewed-impact corpus. The synthetic
+    # testdata has a FLAT impact distribution (block-max's worst case),
+    # so pruning never showed in BENCH numbers before; this line builds a
+    # clustered rare-term corpus and reports the profiler's block-skip
+    # counters alongside the query latency.
+    import pandas as pd
+
+    n_skew = 30_000
+    texts = ["rare " * 6 + "c1 c2" if i < 200 else
+             f"c1 c2 w{i % 37} w{(i * 7) % 53} filler pad{i % 11}"
+             for i in range(n_skew)]
+    skew_df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(n_skew)), "text": texts}))
+    skew_dir = tempfile.mkdtemp(prefix="diagon_bench_skew_")
+    skew_cat = build_index(spark, skew_df, skew_dir, num_segments=4,
+                           num_buckets=8, id_col="doc_id",
+                           content_col="text", positions=False)
+    ss = Searcher(spark, skew_cat)
+    q_skew = Boolean(should=[Term("rare"), Term("c1"), Term("c2")])
+    ss.search(q_skew, k=10).collect()  # warm
+    best = float("inf")
+    for _ in range(REPEAT):
+        t = time.time()
+        ss.search(q_skew, k=10).collect()
+        best = min(best, time.time() - t)
+    prof = ss.profile(q_skew, k=10)
+    wand_skew = {
+        "p50_warm_sec": round(best, 4),
+        "n_docs": n_skew,
+        "blocks_total": prof["blocks_total"],
+        "blocks_decoded": prof["blocks_decoded"],
+        "blocks_skipped": prof["blocks_skipped"],
+        "skip_pct": round(100.0 * prof["blocks_skipped"]
+                          / max(prof["blocks_total"], 1), 1),
+    }
+    shutil.rmtree(skew_dir, ignore_errors=True)
+
     def _du(path: str) -> int:
         import pathlib
         return sum(f.stat().st_size for f in pathlib.Path(path).rglob("*")
@@ -123,6 +161,54 @@ def main() -> None:
     postings_bytes = _du(cat.postings_path)
     docs_bytes = _du(cat.docs_path)
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- query-side scaling ladder (north-rule evidence, two
+    # parallelism levels in one process, back-to-back): throughput of 8
+    # concurrent query streams over a 400k-doc index at 1 core vs 4
+    # cores. Queries are the dense OR-10 over the heaviest vocabulary
+    # terms, so the measurement is scoring-CPU-bound, not scheduler-bound;
+    # per-segment scoring is embarrassingly parallel (asserted in
+    # tests/test_plans.py), so qps should scale with cores up to the
+    # box's memory-bus ceiling (scripts/substrate_probe.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from diagon_spark.corpus import corpus_df, VOCAB
+
+    spark.stop()
+    spark = _session(reuse_workers=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_dir = tempfile.mkdtemp(prefix="diagon_bench_scale_")
+    t = time.time()
+    scale_cat = build_index(spark, corpus_df(spark, 400_000, partitions=64),
+                            scale_dir, num_segments=int(CPUS),
+                            num_buckets=16, positions=False)
+    ladder_build_sec = time.time() - t
+    spark.stop()
+
+    q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
+    qps: dict[int, float] = {}
+    for cores in (1, 4):
+        spark = _session(reuse_workers=True, cores=cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        s2 = Searcher(spark, scale_cat)
+        s2.search(q_heavy, k=100).collect()  # warm
+        n_q = 16
+        t = time.time()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda _i: s2.search(q_heavy, k=100).collect(),
+                        range(n_q)))
+        qps[cores] = n_q / (time.time() - t)
+        spark.stop()
+    query_scaling = {
+        "corpus_docs": 400_000,
+        "qps_1core": round(qps[1], 3),
+        "qps_4core": round(qps[4], 3),
+        "efficiency_1to4": round(qps[4] / (4 * qps[1]), 3),
+        "ladder_build_sec": round(ladder_build_sec, 1),
+    }
+    shutil.rmtree(scale_dir, ignore_errors=True)
+    spark = _session(reuse_workers=True)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = sum(timings.values())
     print(json.dumps({
@@ -136,6 +222,8 @@ def main() -> None:
         "index_bytes_per_doc": round(postings_bytes / max(n_docs, 1), 1),
         "docs_table_bytes_per_doc": round(docs_bytes / max(n_docs, 1), 1),
         "cpus": int(CPUS),
+        "wand_skew": wand_skew,
+        "query_scaling": query_scaling,
     }))
     spark.stop()
 

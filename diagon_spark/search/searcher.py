@@ -41,7 +41,8 @@ from diagon_spark.search.query import (Boolean, MatchAll, MatchNone, Phrase,
 
 _HIT_SCHEMA = "doc_id long, score double"
 _TOTAL_SCHEMA = ("doc_id long, score double, segment_id int, "
-                 "seg_total long, seg_exact boolean")
+                 "seg_total long, seg_exact boolean, "
+                 "seg_blocks long, seg_blocks_dec long")
 _COUNT_SCHEMA = "segment_id int, n long"
 
 _BASE_COLS = ["field", "term", "segment_id", "chunk", "df", "doc_blocks",
@@ -345,10 +346,16 @@ class Searcher(PlannerMixin):
                               after=None).collect()
         exec_ms = (_t.time() - t1) * 1000
         seg_totals: dict[int, int] = {}
+        seg_blocks: dict[int, tuple[int, int]] = {}
         exact = True
         for r in rows:
             seg_totals.setdefault(int(r.segment_id), int(r.seg_total))
+            seg_blocks.setdefault(int(r.segment_id),
+                                  (int(r.seg_blocks),
+                                   int(r.seg_blocks_dec)))
             exact &= bool(r.seg_exact)
+        blocks_total = sum(b for b, _ in seg_blocks.values())
+        blocks_decoded = sum(d for _, d in seg_blocks.values())
         return {
             "kind": spec["kind"],
             "leaves": [list(p) for p in spec["all_terms"]],
@@ -361,6 +368,11 @@ class Searcher(PlannerMixin):
             "per_segment_matches": seg_totals,
             "total_hits": sum(seg_totals.values()),
             "total_relation": "eq" if exact else "gte",
+            # Block-Max pruning observability: posting blocks the query's
+            # terms HAVE vs blocks actually DECODED (skipped = difference)
+            "blocks_total": blocks_total,
+            "blocks_decoded": blocks_decoded,
+            "blocks_skipped": blocks_total - blocks_decoded,
             "hits_returned": min(k, len(rows)),
             "plan_ms": round(plan_ms, 2),
             "exec_ms": round(exec_ms, 2),
@@ -451,6 +463,12 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
                                        dtype=np.int64)
             out["seg_exact"] = np.full(len(docs),
                                        bool(stats_out.get("exact", True)))
+            out["seg_blocks"] = np.full(len(docs),
+                                        stats_out.get("blocks_total", 0),
+                                        dtype=np.int64)
+            out["seg_blocks_dec"] = np.full(
+                len(docs), stats_out.get("blocks_decoded", 0),
+                dtype=np.int64)
         return pd.DataFrame(out)
 
     return seg_fn

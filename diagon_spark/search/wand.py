@@ -218,6 +218,25 @@ def _mask_banned(docs: np.ndarray, banned):
     return ~np.isin(docs, banned)
 
 
+def _fill_block_stats(stats_out: dict | None, postings: dict,
+                      terms) -> None:
+    """Pruning observability: how many posting blocks the query's terms
+    HAVE vs how many actually DECODED (the Block-Max skip counter the
+    reference exposes via its query profiler). Decoded = distinct blocks
+    in each list's decode cache after scoring."""
+    if stats_out is None:
+        return
+    tot = dec = 0
+    for t in terms:
+        sp = postings.get(t)
+        if sp is None:
+            continue
+        tot += len(sp.block_index)
+        dec += len({k[0] for k in sp._cache})
+    stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + tot
+    stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + dec
+
+
 def wand_disjunction(postings: dict, params: dict,
                      terms: list, k: int, msm: int = 0,
                      f64: bool = False, after=None, banned=None,
@@ -337,6 +356,7 @@ def wand_disjunction(postings: dict, params: dict,
                             # not enumerated: lower bound (GTE relation)
                             stats_out.update(total=int(len(cands)),
                                              exact=False)
+                            _fill_block_stats(stats_out, postings, terms)
                         return _topk(cands, acc.astype(np.float64), k)
 
     if dense or trivial:
@@ -356,6 +376,7 @@ def wand_disjunction(postings: dict, params: dict,
             cands, acc = cands[keep], acc[keep]
         if stats_out is not None:
             stats_out.update(total=int(len(cands)), exact=True)
+            _fill_block_stats(stats_out, postings, terms)
         cands, acc = _after_filter(cands, acc.astype(np.float64), after)
         return _topk(cands, acc, k)
 
@@ -421,6 +442,7 @@ def wand_disjunction(postings: dict, params: dict,
     if not all_docs:
         if stats_out is not None:
             stats_out.update(total=0, exact=not pruned)
+            _fill_block_stats(stats_out, postings, terms)
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     docs = np.concatenate(all_docs)
     scores = np.concatenate(all_scores)
@@ -430,6 +452,7 @@ def wand_disjunction(postings: dict, params: dict,
     if stats_out is not None:
         # lower bound when pruning stopped early (TotalHits GTE relation)
         stats_out.update(total=int(len(docs)), exact=not pruned)
+        _fill_block_stats(stats_out, postings, terms)
     return _topk(docs, scores, k)
 
 
@@ -502,6 +525,8 @@ def conjunction(postings: dict, params: dict,
         cand, acc = cand[keep], acc[keep]
     if stats_out is not None:
         stats_out.update(total=int(len(cand)), exact=True)
+        _fill_block_stats(stats_out, postings,
+                          [*must, *should, *must_not, *filters])
     cand, acc = _after_filter(cand, acc.astype(np.float64), after)
     return _topk(cand, acc, k)
 
@@ -582,6 +607,7 @@ def phrase(postings: dict, phrase_params: TermScorerParams,
         docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
     if stats_out is not None:
         stats_out.update(total=int(len(docs)), exact=True)
+        _fill_block_stats(stats_out, postings, terms)
     if len(docs) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     scores = phrase_params.score(freqs, norms, f64)

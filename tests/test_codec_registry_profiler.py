@@ -60,3 +60,7 @@ def test_profile_search(spark, idx):
     assert p["hits_returned"] == 10
     assert p["exec_ms"] > 0 and p["plan_ms"] >= 0
     assert sum(p["per_segment_matches"].values()) == p["total_hits"]
+    # block-skip counters ride through the profiler (bench observability)
+    assert p["blocks_total"] >= p["blocks_decoded"] >= 0
+    assert p["blocks_skipped"] == p["blocks_total"] - p["blocks_decoded"]
+    assert p["blocks_decoded"] > 0  # a scoring query decodes something

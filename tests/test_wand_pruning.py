@@ -139,6 +139,10 @@ def test_maxscore_essential_split_exact():
     assert len(set(decoded)) < 0.5 * total_blocks, \
         f"maxscore skipped nothing: {len(set(decoded))}/{total_blocks}"
     assert stats["exact"] is False  # GTE relation: count is a lower bound
+    # pruning observability counters agree with the decode spy
+    assert stats["blocks_total"] == total_blocks
+    assert stats["blocks_decoded"] == len(set(decoded))
+    assert stats["blocks_decoded"] < stats["blocks_total"]
 
 
 def test_maxscore_with_banned_docs_exact():
