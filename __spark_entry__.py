@@ -166,6 +166,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     filter=[Range("doc_len", 30, 60)])
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
+    def boost_bm25(spark, sf):
+        # per-clause boosts (Query.h boost factor folded into idf)
+        q = Boolean(should=[Term(SINGLE_TERM, boost=2.0),
+                            Term("table", boost=0.5)])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def filter_all_bm25(spark, sf):
+        # BooleanWeight filter-becomes-required-scorer: filter MatchAll
+        # makes EVERY live doc match; SHOULD adds score where it hits
+        q = Boolean(should=[Term(SINGLE_TERM)], filter=[MatchAll()])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
     def bool_count(spark, sf):
         # count-only path: no scoring sort, no top-k materialization
         q = Boolean(must=[Term(SINGLE_TERM), Term("table")])
@@ -261,6 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_index_topk(spark, _ann_index(spark, sf), qvec,
                                          k=10, max_hamming=3, exclude_id=0)
 
+    def embedding_dups(spark, sf):
+        # embedding-cosine near-dup pairs: sign-LSH band candidates
+        # (bucketed equi-join, linear) + exact cosine verify
+        return similarity.embedding_dups(_emb(spark, sf), threshold=0.3)
+
     def sparse_topk(spark, sf):
         from diagon_spark.pipelines import sparse
         postings = sparse.build_value_postings(_docs(spark, sf))
@@ -311,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_bool_bm25": nested_bool_bm25,
         "multifield_bm25": multifield_bm25,
         "range_bool_bm25": range_bool_bm25,
+        "boost_bm25": boost_bm25,
+        "filter_all_bm25": filter_all_bm25,
         "bool_count": bool_count,
         "total_hits": total_hits,
         "term_count": term_count,
@@ -330,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash,
         "knn_cosine": knn_cosine,
         "ann_lsh": ann_lsh,
+        "embedding_dups": embedding_dups,
         "sparse_topk": sparse_topk,
         "sparse_maxscore": sparse_maxscore,
         "sparse_qblock": sparse_qblock,
@@ -364,15 +384,25 @@ def _terms_in(terms: list[str]) -> str:
     return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
 
 
-def _scores_cte(terms: list[str]) -> str:
+def _scores_cte(terms: list[str],
+                boosts: dict[str, float] | None = None) -> str:
     """Per-(doc, term) BM25 scores CTE — formula identical to the engine's
-    f64 path (wand.TermScorerParams.score with f64=True)."""
+    f64 path (wand.TermScorerParams.score with f64=True; a clause boost
+    multiplies the idf before the tf factor, exactly as idf64 carries
+    it)."""
+    if boosts:
+        whens = " ".join(
+            f"WHEN '{t.replace(chr(39), chr(39) * 2)}' THEN {b}"
+            for t, b in boosts.items())
+        boost_sql = f" * (CASE tf.term {whens} ELSE 1.0 END)"
+    else:
+        boost_sql = ""
     return f"""
 dfq AS (SELECT term, COUNT(*) AS df FROM tf
         WHERE term IN ({_terms_in(terms)}) GROUP BY term),
 scores AS (
   SELECT tf.doc_id, tf.term,
-    LN(1.0 + (s.max_doc - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf /
+    LN(1.0 + (s.max_doc - dfq.df + 0.5) / (dfq.df + 0.5)){boost_sql} * tf.tf /
     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
       (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
             ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
@@ -383,9 +413,10 @@ scores AS (
 )"""
 
 
-def _or_sql(terms: list[str], msm: int = 0) -> str:
+def _or_sql(terms: list[str], msm: int = 0,
+            boosts: dict[str, float] | None = None) -> str:
     having = f"HAVING COUNT(*) >= {msm}" if msm > 1 else ""
-    return f"""WITH {_TOK_CTE}, {_scores_cte(terms)}
+    return f"""WITH {_TOK_CTE}, {_scores_cte(terms, boosts)}
 SELECT doc_id, ROUND(total, 6) AS score FROM (
   SELECT doc_id, SUM(sc) AS total FROM scores GROUP BY doc_id {having}
 ) ORDER BY total DESC, doc_id ASC LIMIT 100"""
@@ -554,6 +585,49 @@ ORDER BY ROUND(dot / (SQRT(na) * qn.qnorm), 6) DESC, vec_id ASC
 LIMIT 10"""
 
 
+_EMB_DUPS_SQL = """WITH
+dims AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                              LIMIT 1))) AS d),
+planes AS (
+  SELECT j, d,
+         CAST(concat('0x', substr(md5('p' || CAST(j AS VARCHAR) || ':'
+              || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+         - 2147483648 AS c
+  FROM (SELECT unnest(range(16)) AS j), dims),
+ev AS (SELECT vec_id,
+              CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS qx,
+              d
+       FROM (SELECT vec_id, unnest(embedding) AS x,
+                    unnest(range(len(embedding))) AS d FROM embeddings)),
+bits AS (SELECT vec_id, j,
+                CASE WHEN SUM(qx * c) >= 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS b
+         FROM ev JOIN planes USING(d) GROUP BY vec_id, j),
+sig AS (SELECT vec_id,
+               CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                    AS BIGINT) AS s
+        FROM bits GROUP BY vec_id),
+bands AS (SELECT vec_id, bnd,
+                 (s >> CAST(bnd * 4 AS INT)) & 15 AS bv
+          FROM sig, (SELECT unnest(range(4)) AS bnd)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.bnd = b.bnd AND a.bv = b.bv AND a.vec_id < b.vec_id),
+pv AS (SELECT vec_id, unnest(embedding) AS x,
+              unnest(range(len(embedding))) AS d FROM embeddings),
+dots AS (SELECT c.vec_a, c.vec_b,
+                SUM(CAST(pa.x AS DOUBLE) * CAST(pb.x AS DOUBLE)) AS dot,
+                SQRT(SUM(CAST(pa.x AS DOUBLE) * CAST(pa.x AS DOUBLE))) AS na,
+                SQRT(SUM(CAST(pb.x AS DOUBLE) * CAST(pb.x AS DOUBLE))) AS nb
+         FROM cand c
+         JOIN pv pa ON pa.vec_id = c.vec_a
+         JOIN pv pb ON pb.vec_id = c.vec_b AND pb.d = pa.d
+         GROUP BY c.vec_a, c.vec_b)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
+FROM dots WHERE ROUND(dot / (na * nb), 6) >= 0.3
+ORDER BY vec_a ASC, vec_b ASC"""
+
+
 def _sparse_sql(query: dict[str, float], k: int) -> str:
     vals = ", ".join(f"('{t}', {w})" for t, w in query.items())
     return f"""WITH {_TOK_CTE},
@@ -680,6 +754,14 @@ def oracle_sql() -> dict[str, str]:
         "range_bool_bm25": _filtered_must_sql(
             SINGLE_TERM,
             "SELECT doc_id FROM docs_n WHERE n BETWEEN 30 AND 60"),
+        "boost_bm25": _or_sql([SINGLE_TERM, "table"],
+                              boosts={SINGLE_TERM: 2.0, "table": 0.5}),
+        "filter_all_bm25": f"""WITH {_TOK_CTE}, {_scores_cte([SINGLE_TERM])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT d.doc_id, COALESCE(t.tsc, 0.0) AS total
+  FROM documents d LEFT JOIN (SELECT doc_id, SUM(sc) AS tsc FROM scores
+                              GROUP BY doc_id) t USING(doc_id)
+) ORDER BY total DESC, doc_id ASC LIMIT 100""",
         "bool_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM (
   SELECT doc_id FROM tf WHERE term IN ('{SINGLE_TERM}', 'table')
@@ -746,6 +828,7 @@ FROM documents GROUP BY md5(text)""",
         "minhash_lsh": _minhash_sql(16, 2),
         "simhash": _simhash_sql(32),
         "knn_cosine": _KNN_SQL,
+        "embedding_dups": _EMB_DUPS_SQL,
         "sparse_topk": _sparse_sql({"data": 2.0, "table": 1.0,
                                     "window": 1.5}, 20),
         "sparse_maxscore": _sparse_sql({"data": 2.0, "table": 1.0,

@@ -136,6 +136,61 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def _pair_cosine(emb: DataFrame, pairs: DataFrame,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine for candidate (vec_a, vec_b) pairs — JVM fold, no
+    UDF: join both sides' vectors, zip_with product, order-stable
+    aggregate (ANSI-SQL-reproducible like cosine_topk)."""
+    va = emb.select(F.col(id_col).cast("long").alias("vec_a"),
+                    F.col(vec_col).alias("_ea"))
+    vb = emb.select(F.col(id_col).cast("long").alias("vec_b"),
+                    F.col(vec_col).alias("_eb"))
+    j = pairs.join(va, "vec_a").join(vb, "vec_b")
+    prods = F.zip_with(F.col("_ea"), F.col("_eb"),
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0).cast("double"),
+                      lambda acc, x: acc + x)
+    return j.select("vec_a", "vec_b",
+                    F.round(dot / (_norm(F.col("_ea"))
+                                   * _norm(F.col("_eb"))), 6)
+                    .alias("cosine"))
+
+
+def embedding_dups(emb: DataFrame, threshold: float = 0.5,
+                   n_planes: int = 16, band_bits: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analogue of
+    MinHash-LSH dedup: sign-LSH signatures (md5-integer planes, exact
+    integer arithmetic) sliced into `n_planes/band_bits` bands; candidate
+    pairs share at least one band value (a bucketed equi-join — LINEAR in
+    corpus size, never an all-pairs join); exact cosine verifies
+    candidates against `threshold`. Returns (vec_a < vec_b, cosine)
+    distinct pairs. At 100 TB the signature/band table is precomputed
+    once (build_ann_index's layout) and the join is bucket-local."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = md5_planes(dim, n_planes)
+    sig_udf = lsh_signature_udf(planes)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    sigs = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      sig_udf(F.col(vec_col)).alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sig"), b * band_bits)
+            .bitwiseAND(F.lit(mask)) for b in range(n_bands)]))
+        .alias("band", "band_val"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
+    cand = (a.join(b, ["band", "band_val"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    return (_pair_cosine(emb, cand, id_col, vec_col)
+            .filter(F.col("cosine") >= threshold)
+            .orderBy(F.asc("vec_a"), F.asc("vec_b")))
+
+
 # ------------------------------------------------- precomputed ANN index
 
 

@@ -71,3 +71,43 @@ def test_signature_partition_layout_single_file(spark, ann):
     # repartition-by-signature co-location: one file per partition dir
     for d in glob.glob(f"{out}/vectors/lsh_sig=*"):
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+
+def test_embedding_dups_matches_numpy_reference(spark):
+    """embedding_dups == numpy-computed truth: pairs sharing >=1 sign-LSH
+    band whose exact cosine clears the threshold. Candidate generation is
+    a bucketed band join, never an all-pairs product."""
+    import numpy as np
+
+    emb = spark.read.parquet(EMB)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([int(r.vec_id) for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                    for r in rows])
+
+    n_planes, band_bits, thresh = 16, 4, 0.3
+    planes = similarity.md5_planes(mat.shape[1], n_planes)
+    q = similarity.quantize(mat)
+    sigs = ((q @ planes.T) >= 0).astype(np.int64) @ \
+        (1 << np.arange(n_planes, dtype=np.int64))
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+
+    want = set()
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            shares = any(((sigs[i] >> (b * band_bits)) & mask)
+                         == ((sigs[j] >> (b * band_bits)) & mask)
+                         for b in range(n_bands))
+            if shares and round(cos[i, j], 6) >= thresh:
+                a, b_ = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b_))
+
+    got = {(int(r.vec_a), int(r.vec_b)) for r in
+           similarity.embedding_dups(emb, threshold=thresh,
+                                     n_planes=n_planes,
+                                     band_bits=band_bits).collect()}
+    assert got == want
+    assert len(want) > 0, "fixture degenerate: no near-dup candidates"
