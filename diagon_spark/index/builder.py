@@ -146,6 +146,9 @@ class IndexCatalog:
     has_positions: bool
     key_cols: list[str]
     fields: list[str] = dc_field(default_factory=lambda: ["content"])
+    # commit generation this handle was opened at (IndexCommit analogue);
+    # None for a not-yet-committed builder handle. commit() advances it.
+    generation: int | None = None
 
     @property
     def default_field(self) -> str:
@@ -196,8 +199,10 @@ class IndexCatalog:
                 raise FileNotFoundError(
                     f"no commit generation {generation} under {root}")
             meta = json.loads(by_gen[generation].read_text())
+            opened_gen = generation
         else:
             meta = json.loads(commits[-1].read_text())
+            opened_gen = IndexCatalog._gen_of(commits[-1])
         from diagon_spark.index.codec import codec_for_name
         # commits without a codec key predate the SPI (round-1 format) —
         # they must be REJECTED with a migration message, not defaulted to
@@ -206,6 +211,7 @@ class IndexCatalog:
         return IndexCatalog(
             root=root,
             fields=list(meta.get("fields") or ["content"]),
+            generation=opened_gen,
             **{k: meta[k] for k in ("num_buckets", "num_segments",
                                     "has_positions", "key_cols")})
 
@@ -228,6 +234,7 @@ class IndexCatalog:
         tmp = cdir / f".commit_{gen}.json.tmp"
         tmp.write_text(json.dumps(meta))
         tmp.rename(cdir / f"commit_{gen}.json")  # atomic publish (segments_N)
+        self.generation = gen
 
 
 def _swap_write(df: DataFrame, path: str, partition_by: str | None = None,

@@ -228,3 +228,49 @@ def force_merge(spark: SparkSession, cat: IndexCatalog,
                 out_dir: str) -> IndexCatalog:
     """Merge all segments into one (forceMerge(1)) under out_dir."""
     return merge_segments(spark, cat, out_dir, num_segments=1)
+
+
+def commit_merge(spark: SparkSession, cat: IndexCatalog,
+                 num_segments: int = 1) -> IndexCatalog:
+    """In-place compaction — the writer.commitMergeResults() analogue
+    (index/IndexWriter.h merge lifecycle,
+    tests/unit/index/MergeCommitPointTest.cpp): merge to `num_segments`
+    segments, atomically swap the index tables under the SAME root, and
+    publish a new commit generation. Source segments are physically
+    removed, so older commit points can no longer be opened; they are
+    pruned like Lucene's default KeepOnlyLastCommitDeletionPolicy.
+    Tombstoned docs are purged, so the deleted/ table is dropped too.
+    Readers opened pre-merge must reopen (LocalSearcher.reopen_if_changed)
+    — on an object store the Iceberg-snapshot analogue would instead keep
+    old files live until old readers are released (flagged like
+    IndexCatalog.commit)."""
+    import shutil
+    from pathlib import Path
+
+    staging = str(Path(cat.root, "_merging"))
+    if Path(staging).exists():
+        shutil.rmtree(staging)  # leftover from a crashed merge commit
+    merged = merge_segments(spark, cat, staging, num_segments=num_segments)
+
+    for sub in ("docs", "postings", "term_dict", "stats"):
+        src, dst = Path(staging, sub), Path(cat.root, sub)
+        old = Path(cat.root, sub + ".premerge")
+        if old.exists():
+            shutil.rmtree(old)
+        dst.rename(old)
+        src.rename(dst)
+        shutil.rmtree(old)
+    dp = Path(cat.root, "deleted")
+    if dp.exists():
+        shutil.rmtree(dp)  # purged into the merged postings/docs
+    shutil.rmtree(staging)  # staging _commits + empty shell
+
+    out = IndexCatalog(root=cat.root, num_buckets=cat.num_buckets,
+                       num_segments=num_segments,
+                       has_positions=cat.has_positions,
+                       key_cols=cat.key_cols, fields=cat.fields)
+    out.commit({"merge_committed": True,
+                "merged_from_segments": cat.num_segments})
+    for p in IndexCatalog.list_commits(cat.root)[:-1]:
+        p.unlink()  # KeepOnlyLastCommitDeletionPolicy
+    return out

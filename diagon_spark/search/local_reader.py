@@ -52,6 +52,10 @@ class LocalSearcher(PlannerMixin):
     def __init__(self, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
         self.cat = catalog
+        # snapshot the opened-at commit generation: the caller may keep
+        # using `catalog` as a writer handle (commit() advances its
+        # generation), but THIS reader's view is pinned at open time
+        self._opened_gen = catalog.generation
         self.default_field = catalog.default_field
         srows = pq.read_table(catalog.stats_path).to_pylist()
         self.field_stats = {r["field"]: int(r["sum_total_term_freq"] or 0)
@@ -225,6 +229,29 @@ class LocalSearcher(PlannerMixin):
         d, s = wand._topk(docs, scores, k)
         return ([(int(a), float(b)) for a, b in zip(d, s)], total,
                 "eq" if exact else "gte")
+
+    def reopen_if_changed(self) -> "LocalSearcher | None":
+        """DirectoryReader::openIfChanged analogue
+        (index/DirectoryReader.h, tests/unit/index/ReaderReopenTest.cpp):
+        returns None when no commit newer than this reader's generation
+        exists, else a NEW LocalSearcher opened at the latest commit
+        (which sees appended segments and fresh tombstones). This reader
+        keeps serving its point-in-time view: the pyarrow datasets pinned
+        their file listings at construction, so appended segment files
+        never leak in. Local-fs caveat (flagged like IndexCatalog.commit):
+        a concurrent term_dict/stats _swap_write physically replaces files
+        under the old reader — stats were loaded eagerly and term lookups
+        are cached, but a cold term lookup after a swap needs the reader
+        reopened; on an object store the Iceberg-snapshot analogue keeps
+        old files live until the old reader is released."""
+        from diagon_spark.index.builder import IndexCatalog
+        commits = IndexCatalog.list_commits(self.cat.root)
+        if not commits:
+            return None
+        latest = IndexCatalog._gen_of(commits[-1])
+        if self._opened_gen is not None and latest <= self._opened_gen:
+            return None
+        return LocalSearcher(IndexCatalog.load(self.cat.root))
 
     def count(self, query: Query) -> int:
         """Count-only path — the TotalHitCountCollector analogue: the

@@ -1,0 +1,75 @@
+"""In-place merge commit — writer.commitMergeResults parity
+(tests/unit/index/MergeCommitPointTest.cpp): source segments are removed
+under the same root, a reopened reader sees the exact live-doc count (no
+duplication from stale segments), older commit points are pruned, and the
+no-op case is safe.
+"""
+
+from pathlib import Path
+
+from diagon_spark import Searcher, build_index
+from diagon_spark.corpus import generate_pandas
+from diagon_spark.index.builder import IndexCatalog
+from diagon_spark.index.deletes import delete_documents
+from diagon_spark.index.merge import commit_merge
+from diagon_spark.search.local_reader import LocalSearcher
+from diagon_spark.search.query import MatchAll, Term
+
+
+def test_commit_merge_in_place_removes_sources_and_purges(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, 80)), out,
+                num_segments=4, num_buckets=4, positions=False)
+    cat = IndexCatalog.load(out)
+    ls0 = LocalSearcher(cat)
+    victims = [d for d, _ in ls0.search(Term("int"), k=4)]
+    vdf = spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+    delete_documents(spark, cat, vdf, join_cols=["doc_id"])
+    pre_hits = {d for d, _ in LocalSearcher(IndexCatalog.load(out))
+                .search(Term("int"), k=1000)}
+
+    merged = commit_merge(spark, cat, num_segments=1)
+    assert merged.root == out and merged.num_segments == 1
+
+    # reopened reader: exact live count, no stale-segment duplication
+    ls = LocalSearcher(IndexCatalog.load(out))
+    assert ls.count(MatchAll()) == 80 - len(set(victims))
+    # physical segment count is down to 1 (doc_ids stay stable — they
+    # embed their ORIGINAL segment bits; the tables' segment_id column is
+    # the physical grouping)
+    segs = {r.segment_id for r in
+            spark.read.parquet(f"{out}/docs").select("segment_id")
+            .distinct().collect()}
+    psegs = {r.segment_id for r in
+             spark.read.parquet(f"{out}/postings").select("segment_id")
+             .distinct().collect()}
+    assert segs == {0} and psegs == {0}
+    # surviving matches unchanged as a SET; exact scores/order legitimately
+    # shift because merge recomputes df/avgdl WITHOUT the purged docs
+    # (pre-merge stats count deleted docs until a merge — Lucene behavior,
+    # deletes.py module docstring)
+    assert {d for d, _ in ls.search(Term("int"), k=1000)} == pre_hits
+    # tombstones are purged for good
+    assert not Path(out, "deleted").exists()
+    # KeepOnlyLastCommitDeletionPolicy: only the merge commit remains
+    commits = IndexCatalog.list_commits(out)
+    assert len(commits) == 1
+    assert not Path(out, "_merging").exists()
+
+    # Spark path agrees post-merge
+    s = Searcher(spark, merged)
+    assert s.count(MatchAll()) == 80 - len(set(victims))
+
+
+def test_commit_merge_safe_with_no_merges_needed(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, 40)), out,
+                num_segments=1, num_buckets=4, positions=False)
+    cat = IndexCatalog.load(out)
+    before = [(d, round(sc, 5)) for d, sc in
+              LocalSearcher(cat).search(Term("int"), k=20)]
+    merged = commit_merge(spark, cat, num_segments=1)
+    after = [(d, round(sc, 5)) for d, sc in
+             LocalSearcher(IndexCatalog.load(out)).search(Term("int"), k=20)]
+    assert after == before
+    assert merged.generation is not None

@@ -92,6 +92,27 @@ def test_term_granule_skip_bloom_or_dictionary(searcher, spark):
     assert checked == 2
 
 
+def test_term_dict_lookup_is_partition_pruned(searcher):
+    """term_dict is hive-partitioned by bucket (round 3): a stats lookup
+    must prune to the query terms' bucket partitions, not scan the whole
+    dictionary."""
+    from pyspark.sql import functions as F
+
+    from diagon_spark.index.builder import term_bucket
+
+    fld = searcher.default_field
+    buckets = sorted({term_bucket(t, searcher.cat.num_buckets, fld)
+                      for t in ("int", "return")})
+    df = (searcher._term_dict_src
+          .filter(F.col("bucket").isin(buckets))
+          .filter(F.col("term").isin(["int", "return"]))
+          .select("field", "term", "df", "cttf"))
+    plan = _plan(df)
+    scan_line = next(ln for ln in plan.splitlines()
+                     if "PartitionFilters" in ln)
+    assert "bucket" in scan_line.split("PartitionFilters")[1], plan[:800]
+
+
 def test_docs_range_pushdown(searcher):
     from diagon_spark.search.query import Range
     plan = _plan(searcher._range_docs(Range("doc_len", 10, 50)))
