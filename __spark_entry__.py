@@ -107,7 +107,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from diagon_spark.pipelines import dedup, multimodal, similarity, textstats
+    from diagon_spark.pipelines import (decontam, dedup, multimodal,
+                                        similarity, textstats)
     from diagon_spark.search.query import Boolean, MatchAll, Phrase, Term
 
     def term_bm25(spark, sf):
@@ -258,6 +259,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf), bits=32)
 
+    def decontam_flags(spark, sf):
+        # eval set = a deterministic subset of the corpus (docs where
+        # doc_id % 97 == 0) standing in for a benchmark test set
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return decontam.decontaminate(docs, bench, n=3, min_hits=1)
+
+    def sample_stratified(spark, sf):
+        return (decontam.sample_stratified(
+                    _docs(spark, sf),
+                    {"en": 0.3, "es": 0.5, "zh": 1.0},
+                    stratum_col="lang", default=0.1)
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "lang"))
+
     def knn_cosine(spark, sf):
         emb = _emb(spark, sf)
         qvec = [float(x) for x in
@@ -347,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dups": jaccard_dups,
         "minhash_lsh": minhash_lsh,
         "simhash": simhash,
+        "decontam_flags": decontam_flags,
+        "sample_stratified": sample_stratified,
         "knn_cosine": knn_cosine,
         "ann_lsh": ann_lsh,
         "embedding_dups": embedding_dups,
@@ -827,6 +845,19 @@ FROM documents GROUP BY md5(text)""",
         "jaccard_dups": _jaccard_sql(0.05),
         "minhash_lsh": _minhash_sql(16, 2),
         "simhash": _simhash_sql(32),
+        "decontam_flags": f"""WITH {_TOK_CTE}, {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+         FROM sh s JOIN bench USING(shingle) GROUP BY s.doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+       AS contaminated
+FROM documents d LEFT JOIN hits h USING(doc_id)""",
+        "sample_stratified": """SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 <
+  CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'es' THEN 500000
+       WHEN lang = 'zh' THEN 1000000 ELSE 100000 END""",
         "knn_cosine": _KNN_SQL,
         "embedding_dups": _EMB_DUPS_SQL,
         "sparse_topk": _sparse_sql({"data": 2.0, "table": 1.0,
