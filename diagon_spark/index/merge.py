@@ -230,40 +230,105 @@ def force_merge(spark: SparkSession, cat: IndexCatalog,
     return merge_segments(spark, cat, out_dir, num_segments=1)
 
 
+_MERGE_TABLES = ("docs", "postings", "term_dict", "stats")
+_MERGE_SENTINEL = "_merge_pending.json"
+
+
+def repair_merge(root: str) -> str | None:
+    """Recover from a commit_merge crash (single-writer assumption, like
+    IndexWriter's write.lock). The sentinel written before any table swap
+    records the pre-merge latest commit generation; the new commit is
+    published only AFTER every swap, so:
+
+    * latest generation == sentinel's  → the merge commit never published:
+      ROLL BACK — restore every `<table>.premerge` dir over the partial
+      swap and drop the staged tables.
+    * latest generation >  sentinel's  → the commit published but cleanup
+      died: ROLL FORWARD — delete `.premerge` leftovers, prune old
+      commits.
+
+    Returns "rolled_back" / "rolled_forward", or None if no crash marker.
+    """
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    sentinel = Path(root, _MERGE_SENTINEL)
+    if not sentinel.exists():
+        return None
+    pre_gen = int(_json.loads(sentinel.read_text())["pre_generation"])
+    commits = IndexCatalog.list_commits(root)
+    latest = IndexCatalog._gen_of(commits[-1]) if commits else -1
+    if latest > pre_gen:  # roll forward: finish the cleanup
+        for sub in _MERGE_TABLES:
+            old = Path(root, sub + ".premerge")
+            if old.exists():
+                shutil.rmtree(old)
+        dp = Path(root, "deleted")
+        if dp.exists():
+            shutil.rmtree(dp)
+        for p in IndexCatalog.list_commits(root)[:-1]:
+            p.unlink()
+        outcome = "rolled_forward"
+    else:  # roll back: un-swap whatever was swapped
+        for sub in _MERGE_TABLES:
+            old, dst = Path(root, sub + ".premerge"), Path(root, sub)
+            if old.exists():
+                if dst.exists():  # the swapped-in merged table
+                    shutil.rmtree(dst)
+                old.rename(dst)
+        outcome = "rolled_back"
+    staging = Path(root, "_merging")
+    if staging.exists():
+        shutil.rmtree(staging)
+    sentinel.unlink()
+    return outcome
+
+
 def commit_merge(spark: SparkSession, cat: IndexCatalog,
                  num_segments: int = 1) -> IndexCatalog:
     """In-place compaction — the writer.commitMergeResults() analogue
     (index/IndexWriter.h merge lifecycle,
     tests/unit/index/MergeCommitPointTest.cpp): merge to `num_segments`
-    segments, atomically swap the index tables under the SAME root, and
-    publish a new commit generation. Source segments are physically
-    removed, so older commit points can no longer be opened; they are
-    pruned like Lucene's default KeepOnlyLastCommitDeletionPolicy.
-    Tombstoned docs are purged, so the deleted/ table is dropped too.
+    segments, swap the index tables under the SAME root, and publish a
+    new commit generation. Source segments are physically removed, so
+    older commit points can no longer be opened; they are pruned like
+    Lucene's default KeepOnlyLastCommitDeletionPolicy. Tombstoned docs
+    are purged, so the deleted/ table is dropped too.
+
+    Crash safety (segments_N discipline): the table swaps cannot be one
+    atomic rename, so a sentinel recording the pre-merge generation is
+    fsync-published first, pre-swap tables are KEPT as `.premerge` dirs
+    until the new commit lands, and `repair_merge` deterministically
+    rolls a crashed swap back (commit absent) or forward (commit
+    present). commit_merge itself repairs any earlier crash on entry.
     Readers opened pre-merge must reopen (LocalSearcher.reopen_if_changed)
-    — on an object store the Iceberg-snapshot analogue would instead keep
-    old files live until old readers are released (flagged like
-    IndexCatalog.commit)."""
+    — on an object store the Iceberg-snapshot analogue keeps old files
+    live until old readers are released (flagged like IndexCatalog.commit).
+    """
+    import json as _json
     import shutil
     from pathlib import Path
 
-    staging = str(Path(cat.root, "_merging"))
-    if Path(staging).exists():
-        shutil.rmtree(staging)  # leftover from a crashed merge commit
-    merged = merge_segments(spark, cat, staging, num_segments=num_segments)
+    repair_merge(cat.root)  # heal any crashed previous attempt
+    staging = Path(cat.root, "_merging")
+    if staging.exists():
+        shutil.rmtree(staging)
+    merged = merge_segments(spark, cat, str(staging),
+                            num_segments=num_segments)
+    assert merged.num_segments == num_segments
 
-    for sub in ("docs", "postings", "term_dict", "stats"):
-        src, dst = Path(staging, sub), Path(cat.root, sub)
-        old = Path(cat.root, sub + ".premerge")
-        if old.exists():
-            shutil.rmtree(old)
-        dst.rename(old)
+    commits = IndexCatalog.list_commits(cat.root)
+    pre_gen = IndexCatalog._gen_of(commits[-1]) if commits else -1
+    sentinel = Path(cat.root, _MERGE_SENTINEL)
+    tmp = Path(cat.root, "." + _MERGE_SENTINEL + ".tmp")
+    tmp.write_text(_json.dumps({"pre_generation": pre_gen}))
+    tmp.rename(sentinel)  # crash before this point: nothing swapped yet
+
+    for sub in _MERGE_TABLES:
+        src, dst = staging / sub, Path(cat.root, sub)
+        dst.rename(Path(cat.root, sub + ".premerge"))
         src.rename(dst)
-        shutil.rmtree(old)
-    dp = Path(cat.root, "deleted")
-    if dp.exists():
-        shutil.rmtree(dp)  # purged into the merged postings/docs
-    shutil.rmtree(staging)  # staging _commits + empty shell
 
     out = IndexCatalog(root=cat.root, num_buckets=cat.num_buckets,
                        num_segments=num_segments,
@@ -271,6 +336,15 @@ def commit_merge(spark: SparkSession, cat: IndexCatalog,
                        key_cols=cat.key_cols, fields=cat.fields)
     out.commit({"merge_committed": True,
                 "merged_from_segments": cat.num_segments})
+
+    # cleanup — a crash anywhere below rolls FORWARD via repair_merge
+    for sub in _MERGE_TABLES:
+        shutil.rmtree(Path(cat.root, sub + ".premerge"))
+    dp = Path(cat.root, "deleted")
+    if dp.exists():
+        shutil.rmtree(dp)  # purged into the merged postings/docs
+    shutil.rmtree(staging)  # staging _commits + empty shell
     for p in IndexCatalog.list_commits(cat.root)[:-1]:
         p.unlink()  # KeepOnlyLastCommitDeletionPolicy
+    sentinel.unlink()
     return out

@@ -73,3 +73,87 @@ def test_commit_merge_safe_with_no_merges_needed(spark, tmp_path):
              LocalSearcher(IndexCatalog.load(out)).search(Term("int"), k=20)]
     assert after == before
     assert merged.generation is not None
+
+
+def _setup_with_deletes(spark, tmp_path, n=60):
+    from diagon_spark.corpus import generate_pandas
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, n)), out,
+                num_segments=4, num_buckets=4, positions=False)
+    cat = IndexCatalog.load(out)
+    ls = LocalSearcher(cat)
+    victims = [d for d, _ in ls.search(Term("int"), k=3)]
+    vdf = spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+    delete_documents(spark, cat, vdf, join_cols=["doc_id"])
+    return out, cat, set(victims), n
+
+
+def test_repair_rolls_back_crash_mid_swap(spark, tmp_path):
+    """Kill window: sentinel written, only SOME tables swapped, commit
+    never published — repair must restore the pre-merge state exactly."""
+    import json
+    import shutil
+
+    from diagon_spark.index import merge as m
+
+    out, cat, victims, n = _setup_with_deletes(spark, tmp_path)
+    pre = LocalSearcher(IndexCatalog.load(out))
+    pre_hits = pre.search(Term("int"), k=1000)
+    pre_count = pre.count(MatchAll())
+
+    # simulate the crash: stage a merge, write the sentinel, swap ONE
+    # table, then "die" (no commit)
+    staging = Path(out, "_merging")
+    m.merge_segments(spark, cat, str(staging), num_segments=1)
+    gen = IndexCatalog._gen_of(IndexCatalog.list_commits(out)[-1])
+    Path(out, m._MERGE_SENTINEL).write_text(
+        json.dumps({"pre_generation": gen}))
+    Path(out, "docs").rename(Path(out, "docs.premerge"))
+    (staging / "docs").rename(Path(out, "docs"))
+
+    assert m.repair_merge(out) == "rolled_back"
+    post = LocalSearcher(IndexCatalog.load(out))
+    assert post.count(MatchAll()) == pre_count
+    assert post.search(Term("int"), k=1000) == pre_hits
+    assert not Path(out, m._MERGE_SENTINEL).exists()
+    assert not Path(out, "docs.premerge").exists()
+    assert not staging.exists()
+    # and a subsequent commit_merge heals + completes normally
+    cat2 = IndexCatalog.load(out)
+    m.commit_merge(spark, cat2, num_segments=1)
+    assert (LocalSearcher(IndexCatalog.load(out)).count(MatchAll())
+            == n - len(victims))
+
+
+def test_repair_rolls_forward_crash_mid_cleanup(spark, tmp_path):
+    """Kill window: commit published but .premerge/deleted cleanup died —
+    repair must finish the cleanup, never resurrect old tables."""
+    import shutil
+
+    from diagon_spark.index import merge as m
+
+    out, cat, victims, n = _setup_with_deletes(spark, tmp_path)
+
+    # run a real commit_merge, then re-create the crashed-cleanup state:
+    # sentinel present, a stale .premerge dir and deleted/ left behind
+    import json
+    pre_gen = IndexCatalog._gen_of(IndexCatalog.list_commits(out)[-1])
+    m.commit_merge(spark, cat, num_segments=1)
+    Path(out, m._MERGE_SENTINEL).write_text(
+        json.dumps({"pre_generation": pre_gen}))
+    shutil.copytree(Path(out, "docs"), Path(out, "docs.premerge"))
+    Path(out, "deleted").mkdir()
+
+    assert m.repair_merge(out) == "rolled_forward"
+    assert not Path(out, "docs.premerge").exists()
+    assert not Path(out, "deleted").exists()
+    assert not Path(out, m._MERGE_SENTINEL).exists()
+    assert len(IndexCatalog.list_commits(out)) == 1
+    assert (LocalSearcher(IndexCatalog.load(out)).count(MatchAll())
+            == n - len(victims))
+
+
+def test_repair_noop_without_sentinel(spark, tmp_path):
+    from diagon_spark.index import merge as m
+    out, _, _, _ = _setup_with_deletes(spark, tmp_path)
+    assert m.repair_merge(out) is None

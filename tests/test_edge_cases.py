@@ -93,3 +93,67 @@ def test_mixed_bool_min_should_match(searcher):
                  min_should_match=0)
     ids1 = [r.doc_id for r in searcher.search(q1, k=10).collect()]
     assert set(ids1) == {3, 4}
+
+
+def test_k_zero_returns_empty(searcher):
+    """QueryEdgeCasesTest::TopK_ZeroRequested: k=0 is a valid request
+    returning no hits (count-only callers use count())."""
+    assert searcher.search(Term("alpha"), k=0).collect() == []
+
+
+def test_very_long_term_round_trips(spark, tmp_path):
+    """QueryEdgeCasesTest::LongTerm_VeryLongWord: a 500-char token must
+    index and match exactly, not truncate."""
+    long_tok = "x" * 500
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "text": [f"start {long_tok} end", "other words"]})
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=1, num_buckets=2,
+                      id_col="doc_id", content_col="text", positions=False)
+    s = Searcher(spark, cat)
+    assert [int(r.doc_id) for r in s.search(Term(long_tok), k=5).collect()] \
+        == [0]
+    assert s.search(Term("x" * 499), k=5).collect() == []
+
+
+def test_single_document_index(spark, tmp_path):
+    """QueryEdgeCasesTest::SingleDocument_SearchWorks."""
+    pdf = pd.DataFrame({"doc_id": [7], "text": ["lonely little document"]})
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=1, num_buckets=2,
+                      id_col="doc_id", content_col="text", positions=True)
+    s = Searcher(spark, cat)
+    hits = s.search(Term("lonely"), k=10).collect()
+    assert [int(r.doc_id) for r in hits] == [7]
+    assert s.count(MatchAll()) == 1
+
+
+def test_term_and_range_conjunction_multisegment(spark, tmp_path):
+    """BoolConjunctionBugTest::TermANDPointRange_MultiSegment: the exact
+    Big5 regression pattern — a MUST term + MUST numeric range over
+    multiple segments must return the true intersection, not one
+    clause's results. 100 docs, term 'even' on even ids, doc_len used as
+    the numeric doc value."""
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        # doc_len = i%7 + 2 tokens; 'even' marks even ids
+        "text": [("even " if i % 2 == 0 else "odd ") +
+                 " ".join(f"w{j}" for j in range(i % 7 + 1))
+                 for i in range(100)],
+    })
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=4, num_buckets=4,
+                      id_col="doc_id", content_col="text", positions=False)
+    s = Searcher(spark, cat)
+    # doc_len in [4, 6] <=> i%7 in {2,3,4}; expected = even ids with that
+    expect = {i for i in range(100) if i % 2 == 0 and 2 <= i % 7 <= 4}
+    q = Boolean(must=[Term("even")], filter=[Range("doc_len", 4, 6)])
+    got = {int(r.doc_id) for r in s.search(q, k=200).collect()}
+    assert got == expect
+    assert s.count(q) == len(expect)
+    # MUST-range variant scores identically to FILTER-range (constant
+    # score 0 contribution is the reference's FILTER semantics; as MUST
+    # the range adds its boost) — both must intersect correctly
+    q2 = Boolean(must=[Term("even"), Range("doc_len", 4, 6)])
+    got2 = {int(r.doc_id) for r in s.search(q2, k=200).collect()}
+    assert got2 == expect
