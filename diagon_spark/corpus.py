@@ -97,8 +97,10 @@ def generate_pandas(start: int, end: int) -> pd.DataFrame:
     })
 
 
-def corpus_df(spark, n_rows: int, partitions: int | None = None):
-    """Distributed deterministic corpus as a Spark DataFrame."""
+def corpus_df(spark, n_rows: int, partitions: int | None = None,
+              start: int = 0):
+    """Distributed deterministic corpus as a Spark DataFrame; `start`
+    offsets the id space so appended batches get fresh documents."""
     # ship BEFORE defining the UDF: pyspark snapshots the registered
     # py-files into the python command at UDF creation time, so a later
     # addPyFile can't fix an already-defined mapInPandas
@@ -113,6 +115,6 @@ def corpus_df(spark, n_rows: int, partitions: int | None = None):
                 # ids within a mapInPandas batch are contiguous per range partition
                 yield generate_pandas(int(ids.min()), int(ids.max()) + 1)
 
-    base = spark.range(0, n_rows, numPartitions=parts)
+    base = spark.range(start, start + n_rows, numPartitions=parts)
     schema = "repo string, path string, commit string, lang string, content string"
     return base.mapInPandas(gen, schema=schema)

@@ -255,6 +255,9 @@ def _swap_write(df: DataFrame, path: str, partition_by: str | None = None,
     if Path(path).exists():
         shutil.rmtree(path)
     Path(tmp).rename(path)
+    # drop any session-cached file listing for the swapped path — a later
+    # spark.read of the same path must re-list, not chase deleted parts
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):

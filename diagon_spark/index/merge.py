@@ -329,6 +329,8 @@ def commit_merge(spark: SparkSession, cat: IndexCatalog,
         src, dst = staging / sub, Path(cat.root, sub)
         dst.rename(Path(cat.root, sub + ".premerge"))
         src.rename(dst)
+        # invalidate any session-cached file listing of the swapped path
+        spark.catalog.refreshByPath(str(dst))
 
     out = IndexCatalog(root=cat.root, num_buckets=cat.num_buckets,
                        num_segments=num_segments,
