@@ -1,0 +1,69 @@
+"""check_index — CheckIndex / HealthCheck.h parity: healthy on a fresh
+index, degraded on a crashed-merge sentinel, unhealthy on cross-table
+inconsistencies."""
+
+import json
+from pathlib import Path
+
+from diagon_spark import build_index
+from diagon_spark.corpus import generate_pandas
+from diagon_spark.index.check import check_index
+from diagon_spark.index.merge import _MERGE_SENTINEL
+
+
+def _build(spark, tmp_path, n=50):
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, n)), out,
+                num_segments=2, num_buckets=4, positions=False)
+    return out
+
+
+def test_fresh_index_healthy(spark, tmp_path):
+    out = _build(spark, tmp_path)
+    r = check_index(spark, out)
+    assert r["status"] == "healthy", r
+    assert r["checks"]["term_dict_matches_postings"]
+    assert r["messages"] == []
+
+
+def test_pending_merge_sentinel_degrades(spark, tmp_path):
+    out = _build(spark, tmp_path)
+    Path(out, _MERGE_SENTINEL).write_text(json.dumps({"pre_generation": 0}))
+    r = check_index(spark, out)
+    assert r["status"] == "degraded"
+    assert not r["checks"]["no_pending_merge"]
+    assert any("repair_merge" in m for m in r["messages"])
+
+
+def test_stats_mismatch_unhealthy(spark, tmp_path):
+    from pyspark.sql import functions as F
+    out = _build(spark, tmp_path)
+    stats = spark.read.parquet(f"{out}/stats").collect()
+    broken = (spark.createDataFrame(stats)
+              .withColumn("max_doc", F.col("max_doc") + 5))
+    broken.write.mode("overwrite").parquet(f"{out}/stats_new")
+    import shutil
+    shutil.rmtree(f"{out}/stats")
+    Path(f"{out}/stats_new").rename(f"{out}/stats")
+    spark.catalog.refreshByPath(f"{out}/stats")
+    r = check_index(spark, out, verify_postings=False)
+    assert r["status"] == "unhealthy"
+    assert not r["checks"]["stats_max_doc_matches_docs"]
+
+
+def test_orphan_tombstone_unhealthy(spark, tmp_path):
+    out = _build(spark, tmp_path)
+    spark.createDataFrame([(10**15, 0)], "doc_id long, segment_id int") \
+        .write.mode("overwrite").parquet(f"{out}/deleted")
+    r = check_index(spark, out, verify_postings=False)
+    assert r["status"] == "unhealthy"
+    assert not r["checks"]["tombstones_reference_live_docs"]
+
+
+def test_missing_table_unhealthy(spark, tmp_path):
+    import shutil
+    out = _build(spark, tmp_path)
+    shutil.rmtree(f"{out}/stats")
+    r = check_index(spark, out)
+    assert r["status"] == "unhealthy"
+    assert not r["checks"]["table_stats_present"]
