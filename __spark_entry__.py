@@ -179,6 +179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = Boolean(should=[Term(SINGLE_TERM)], filter=[MatchAll()])
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
+    def filter_term_bm25(spark, sf):
+        # same required-filter semantics on the FLAT all-Term path: the
+        # Term filter alone establishes candidates, SHOULD is score-only
+        # (docs matching the filter but not the SHOULD match at 0.0)
+        q = Boolean(should=[Term("table")], filter=[Term(SINGLE_TERM)])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
     def bool_count(spark, sf):
         # count-only path: no scoring sort, no top-k materialization
         q = Boolean(must=[Term(SINGLE_TERM), Term("table")])
@@ -346,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_bool_bm25": range_bool_bm25,
         "boost_bm25": boost_bm25,
         "filter_all_bm25": filter_all_bm25,
+        "filter_term_bm25": filter_term_bm25,
         "bool_count": bool_count,
         "total_hits": total_hits,
         "term_count": term_count,
@@ -779,6 +787,13 @@ SELECT doc_id, ROUND(total, 6) AS score FROM (
   SELECT d.doc_id, COALESCE(t.tsc, 0.0) AS total
   FROM documents d LEFT JOIN (SELECT doc_id, SUM(sc) AS tsc FROM scores
                               GROUP BY doc_id) t USING(doc_id)
+) ORDER BY total DESC, doc_id ASC LIMIT 100""",
+        "filter_term_bm25": f"""WITH {_TOK_CTE}, {_scores_cte(["table"])}
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT c.doc_id, COALESCE(t.tsc, 0.0) AS total
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{SINGLE_TERM}') c
+  LEFT JOIN (SELECT doc_id, SUM(sc) AS tsc FROM scores
+             GROUP BY doc_id) t USING(doc_id)
 ) ORDER BY total DESC, doc_id ASC LIMIT 100""",
         "bool_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM (

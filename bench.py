@@ -217,7 +217,6 @@ def main() -> None:
         "ladder_build_sec": round(ladder_build_sec, 1),
     }
     shutil.rmtree(scale_dir, ignore_errors=True)
-    spark = _session(reuse_workers=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = sum(timings.values())
@@ -235,7 +234,6 @@ def main() -> None:
         "wand_skew": wand_skew,
         "query_scaling": query_scaling,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

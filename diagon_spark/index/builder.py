@@ -220,6 +220,7 @@ class IndexCatalog:
         cdir.mkdir(parents=True, exist_ok=True)
         existing = IndexCatalog.list_commits(self.root)
         gen = (IndexCatalog._gen_of(existing[-1]) + 1) if existing else 0
+        from diagon_spark.analysis.tokenizer import HAVE_ICU
         from diagon_spark.index.codec import CODEC_NAME
         meta = {
             "num_buckets": self.num_buckets,
@@ -228,6 +229,11 @@ class IndexCatalog:
             "key_cols": self.key_cols,
             "fields": self.fields,
             "codec": CODEC_NAME,  # Codec SPI: readers validate via registry
+            # which non-ASCII tokenizer built this index (informational —
+            # the ASCII fast path is identical either way, but non-ASCII
+            # rows tokenized under ICU UAX#29 differ from the regex
+            # fallback, so serving should match the build-side flag)
+            "tokenizer": "icu" if HAVE_ICU else "ascii+regex",
             "ts": time.time(),
             **(extra or {}),
         }
@@ -741,6 +747,9 @@ def _swap_write_buckets(df: DataFrame, path: str, buckets: list[int],
         if src.exists():
             src.rename(dst)
     shutil.rmtree(tmp, ignore_errors=True)
+    # same hazard as _swap_write: session-cached listings of the table
+    # must not chase the removed bucket part files
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,

@@ -116,11 +116,11 @@ def check_index(spark: SparkSession, root: str,
                         "term_dict and postings aggregates")
 
     structural = ["stats_max_doc_matches_docs", "segment_ids_in_range",
-                  "doc_ids_unique", "term_dict_matches_postings",
-                  "tombstones_reference_live_docs"]
+                  "doc_ids_unique", "term_dict_matches_postings"]
+    recoverable = ["no_pending_merge", "tombstones_reference_live_docs"]
     if any(checks.get(k) is False for k in structural):
         status = UNHEALTHY
-    elif pending:
+    elif any(checks.get(k) is False for k in recoverable):
         status = DEGRADED
     else:
         status = HEALTHY

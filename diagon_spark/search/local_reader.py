@@ -155,6 +155,23 @@ class LocalSearcher(PlannerMixin):
 
     # ----------------------------------------------------------- search
 
+    def _segment_groups(self, spec: dict):
+        """Yield (postings, aux_sets) per segment for a planned spec —
+        the one place postings rows are fetched and grouped (shared by
+        search / search_with_total / count)."""
+        rows = self._postings_rows(spec["all_terms"],
+                                   spec["need_positions"])
+        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], {}) \
+                .setdefault((r["field"], r["term"]), []).append(r)
+        aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
+                      if spec.get("aux_specs") else {})
+        for seg in sorted(set(by_seg) | set(aux_by_seg)):
+            postings = {key: wand._SegmentPostings(rs)
+                        for key, rs in by_seg.get(seg, {}).items()}
+            yield postings, aux_by_seg.get(seg, {})
+
     def _run_segments(self, spec: dict, k: int, f64: bool, after,
                       stats_list: list | None = None):
         """Per-segment execution of a planned spec (postings + aux sets).
@@ -164,21 +181,10 @@ class LocalSearcher(PlannerMixin):
         kernels) — 8 threads ran 8x SLOWER than one. Concurrency for a
         serving tier comes from running many queries in parallel
         processes, like the reference's one-thread-per-search model."""
-        rows = self._postings_rows(spec["all_terms"],
-                                   spec["need_positions"])
-        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
-        for r in rows:
-            by_seg.setdefault(r["segment_id"], {}) \
-                .setdefault((r["field"], r["term"]), []).append(r)
-        aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
-                      if spec.get("aux_specs") else {})
         results = []
-        for seg in sorted(set(by_seg) | set(aux_by_seg)):
-            postings = {key: wand._SegmentPostings(rs)
-                        for key, rs in by_seg.get(seg, {}).items()}
+        for postings, aux in self._segment_groups(spec):
             st: dict | None = {} if stats_list is not None else None
-            results.append(run_segment_spec(spec, postings,
-                                            aux_by_seg.get(seg, {}), k, f64,
+            results.append(run_segment_spec(spec, postings, aux, k, f64,
                                             after, self.deleted,
                                             stats_out=st))
             if stats_list is not None:
@@ -268,20 +274,10 @@ class LocalSearcher(PlannerMixin):
         if isinstance(q, Range):
             return int(len(self._matching_doc_ids(q)))
         spec = self.plan(q, force_tree=True)
-        rows = self._postings_rows(spec["all_terms"],
-                                   spec["need_positions"])
-        by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
-        for r in rows:
-            by_seg.setdefault(r["segment_id"], {}) \
-                .setdefault((r["field"], r["term"]), []).append(r)
-        aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
-                      if spec.get("aux_specs") else {})
         total = 0
-        for seg in sorted(set(by_seg) | set(aux_by_seg)):
-            postings = {key: wand._SegmentPostings(rs)
-                        for key, rs in by_seg.get(seg, {}).items()}
+        for postings, aux in self._segment_groups(spec):
             docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
-                                     aux_by_seg.get(seg, {}), False)
+                                     aux, False)
             keep = wand._mask_banned(docs, self.deleted)
             total += int(keep.sum()) if keep is not None else int(len(docs))
         return total

@@ -258,7 +258,8 @@ class Searcher(PlannerMixin):
         seen: set[int] = set()
         scored = []
         for r in rows:
-            scored.append((float(r.score), int(r.doc_id)))
+            if int(r.doc_id) >= 0:  # doc_id -1 = counters-only marker
+                scored.append((float(r.score), int(r.doc_id)))
             if int(r.segment_id) not in seen:
                 seen.add(int(r.segment_id))
                 total += int(r.seg_total)
@@ -364,7 +365,7 @@ class Searcher(PlannerMixin):
                  for f, t in spec["all_terms"]}),
             "num_buckets": self.cat.num_buckets,
             "positions_read": bool(spec["need_positions"]),
-            "segments_matched": len(seg_totals),
+            "segments_matched": sum(1 for v in seg_totals.values() if v > 0),
             "per_segment_matches": seg_totals,
             "total_hits": sum(seg_totals.values()),
             "total_relation": "eq" if exact else "gte",
@@ -373,7 +374,8 @@ class Searcher(PlannerMixin):
             "blocks_total": blocks_total,
             "blocks_decoded": blocks_decoded,
             "blocks_skipped": blocks_total - blocks_decoded,
-            "hits_returned": min(k, len(rows)),
+            "hits_returned": min(k, sum(1 for r in rows
+                                        if int(r.doc_id) >= 0)),
             "plan_ms": round(plan_ms, 2),
             "exec_ms": round(exec_ms, 2),
         }
@@ -451,6 +453,12 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
         stats_out: dict = {}
         docs, scores = run_segment_spec(spec, postings, aux_sets, k, f64,
                                         after, banned, stats_out=stats_out)
+        if with_total and len(docs) == 0:
+            # zero hits must still report this segment's totals/block
+            # counters: one marker row (doc_id -1 — real ids are >= 0),
+            # consumers treat it as counters-only, never as a hit
+            docs = np.full(1, -1, dtype=np.int64)
+            scores = np.zeros(1, np.float64)
         out = {"doc_id": docs.astype(np.int64),
                "score": scores.astype(np.float64)}
         if with_total:

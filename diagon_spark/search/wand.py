@@ -469,14 +469,23 @@ def conjunction(postings: dict, params: dict,
     def _none():
         if stats_out is not None:
             stats_out.update(total=0, exact=True)
+            # block counters still reported: blocks visited before the
+            # candidate set emptied are real work (profiler soundness for
+            # fully-pruned segments)
+            _fill_block_stats(stats_out, postings,
+                              [*must, *should, *must_not, *filters])
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
-    if any(t not in postings for t in must):
+    # required clauses = MUST + FILTER (BooleanWeight: the filter scorer
+    # becomes a required scorer — it can establish the candidate set by
+    # itself, and SHOULD clauses then become purely optional/score-only,
+    # exactly as the tree path's `req` list does in eval_tree)
+    if any(t not in postings for t in (*must, *filters)):
         return _none()
-    if must:
-        order = sorted(must, key=lambda t: postings[t].df)
-        cand, _, _ = postings[order[0]].decode_all()
-        for t in order[1:]:
+    required = sorted((*must, *filters), key=lambda t: postings[t].df)
+    if required:
+        cand, _, _ = postings[required[0]].decode_all()
+        for t in required[1:]:
             if len(cand) == 0:
                 break
             d, _, _ = postings[t].docs_in_range(int(cand.min()),
@@ -492,11 +501,6 @@ def conjunction(postings: dict, params: dict,
         cand = np.unique(np.concatenate(parts))
     else:
         return _none()
-    for t in filters:
-        if t not in postings or len(cand) == 0:
-            return _none()
-        d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))
-        cand = np.intersect1d(cand, d, assume_unique=True)
     for t in must_not:
         if t in postings and len(cand):
             d, _, _ = postings[t].docs_in_range(int(cand.min()), int(cand.max()))

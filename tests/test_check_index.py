@@ -51,12 +51,15 @@ def test_stats_mismatch_unhealthy(spark, tmp_path):
     assert not r["checks"]["stats_max_doc_matches_docs"]
 
 
-def test_orphan_tombstone_unhealthy(spark, tmp_path):
+def test_orphan_tombstone_degraded(spark, tmp_path):
+    """Stale tombstones are recoverable leftovers (drop the rows), not
+    structural breakage — degraded, same tier as a crashed-merge
+    sentinel."""
     out = _build(spark, tmp_path)
     spark.createDataFrame([(10**15, 0)], "doc_id long, segment_id int") \
         .write.mode("overwrite").parquet(f"{out}/deleted")
     r = check_index(spark, out, verify_postings=False)
-    assert r["status"] == "unhealthy"
+    assert r["status"] == "degraded"
     assert not r["checks"]["tombstones_reference_live_docs"]
 
 

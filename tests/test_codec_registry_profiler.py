@@ -64,3 +64,23 @@ def test_profile_search(spark, idx):
     assert p["blocks_total"] >= p["blocks_decoded"] >= 0
     assert p["blocks_skipped"] == p["blocks_total"] - p["blocks_decoded"]
     assert p["blocks_decoded"] > 0  # a scoring query decodes something
+
+
+def test_profile_counts_blocks_of_zero_hit_segments(spark, idx):
+    """A segment whose candidates are all eliminated (must_not wipes
+    them) must STILL report its block counters and a seg_total of 0 —
+    previously the counters rode only on hit rows, so fully-pruned
+    segments vanished from blocks_total and skip_pct overstated work."""
+    _, cat = idx
+    s = Searcher(spark, cat)
+    # every doc matching 'int' also tokenizes 'int' — must_not on the
+    # same term eliminates every candidate in every segment
+    q = Boolean(must=[Term("int")], must_not=[Term("int")])
+    p = s.profile(q, k=10)
+    assert p["total_hits"] == 0
+    assert p["hits_returned"] == 0
+    assert p["segments_matched"] == 0
+    assert p["blocks_total"] > 0  # the term's blocks were still visited
+    # search_with_total agrees: zero hits, exact zero total
+    hits, total, rel = s.search_with_total(q, k=10)
+    assert hits == [] and total == 0 and rel == "eq"

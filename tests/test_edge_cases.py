@@ -157,3 +157,45 @@ def test_term_and_range_conjunction_multisegment(spark, tmp_path):
     q2 = Boolean(must=[Term("even"), Range("doc_len", 4, 6)])
     got2 = {int(r.doc_id) for r in s.search(q2, k=200).collect()}
     assert got2 == expect
+
+
+def test_filter_only_boolean_matches_all_filter_docs(searcher):
+    """BooleanWeight: a boolean whose only positive clauses are FILTERs
+    matches every doc passing the filters, score 0 (the filter scorer
+    becomes the required scorer). The flat all-Term path must agree with
+    the tree path — this was a flat-path regression: conjunction()
+    required a MUST or SHOULD to establish candidates."""
+    q = Boolean(filter=[Term("alpha")])
+    hits = searcher.search(q, k=10).collect()
+    assert [(int(r.doc_id), float(r.score)) for r in hits] == \
+        [(3, 0.0), (4, 0.0)]
+    assert searcher.count(q) == 2
+
+
+def test_should_is_optional_when_filter_present(searcher):
+    """With a FILTER present and msm=0, SHOULD clauses are score-only:
+    docs passing the filter but matching no SHOULD still match at 0."""
+    q = Boolean(should=[Term("beta")], filter=[Term("alpha")])
+    hits = [(int(r.doc_id), float(r.score))
+            for r in searcher.search(q, k=10).collect()]
+    assert [d for d, _ in hits] == [3, 4]   # beta-scorer ranks 3 first
+    assert hits[0][1] > 0.0 and hits[1][1] == 0.0
+    assert searcher.count(q) == 2
+    # msm=1 restores the requirement
+    q1 = Boolean(should=[Term("beta")], filter=[Term("alpha")],
+                 min_should_match=1)
+    assert [int(r.doc_id) for r in searcher.search(q1, k=10).collect()] \
+        == [3]
+
+
+def test_filter_boolean_local_parity(searcher):
+    from diagon_spark.search.local_reader import LocalSearcher
+    ls = LocalSearcher(searcher.cat)
+    for q in (Boolean(filter=[Term("alpha")]),
+              Boolean(should=[Term("beta")], filter=[Term("alpha")]),
+              Boolean(should=[Term("beta")], filter=[Term("alpha")],
+                      min_should_match=1)):
+        spark_hits = [(int(r.doc_id), float(r.score))
+                      for r in searcher.search(q, k=10).collect()]
+        assert ls.search(q, k=10) == spark_hits, q
+        assert ls.count(q) == searcher.count(q), q

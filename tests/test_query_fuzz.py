@@ -79,7 +79,7 @@ def _rand_query(rng, depth=0):
         min_should_match=msm)
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", range(48))
 def test_random_tree_matches_oracle(fz, seed):
     s, cat, ctx = fz
     rng = random.Random(seed)
@@ -96,7 +96,7 @@ def test_random_tree_matches_oracle(fz, seed):
     assert s.count(q) == len(exp_scores), q
 
 
-@pytest.mark.parametrize("seed", range(30, 42))
+@pytest.mark.parametrize("seed", range(48, 64))
 def test_random_tree_local_parity(fz, seed):
     """LocalSearcher serves the same nested trees identically — INCLUDING
     Range/MatchAll clauses, which materialize from a pyarrow doc-values
