@@ -59,6 +59,21 @@ def check_index(spark: SparkSession, root: str,
         msgs.append("crashed commit_merge detected — run "
                     "merge.repair_merge(root) before writing")
 
+    # serving with a different non-ASCII tokenizer than the build used
+    # diverges silently on non-ASCII queries (commit manifest records the
+    # build-side flag; the ASCII fast path is identical either way)
+    import json as _json
+    from diagon_spark.analysis.tokenizer import HAVE_ICU
+    meta = _json.loads(IndexCatalog.list_commits(root)[-1].read_text())
+    built_tok = meta.get("tokenizer")
+    current_tok = "icu" if HAVE_ICU else "ascii+regex"
+    if built_tok is not None:
+        checks["tokenizer_matches_build"] = built_tok == current_tok
+        if built_tok != current_tok:
+            msgs.append(f"index built with tokenizer={built_tok} but this "
+                        f"environment serves {current_tok} — non-ASCII "
+                        "queries may mis-tokenize")
+
     docs = spark.read.parquet(cat.docs_path)
     stats = spark.read.parquet(cat.stats_path)
     n_docs = docs.count()
@@ -117,7 +132,8 @@ def check_index(spark: SparkSession, root: str,
 
     structural = ["stats_max_doc_matches_docs", "segment_ids_in_range",
                   "doc_ids_unique", "term_dict_matches_postings"]
-    recoverable = ["no_pending_merge", "tombstones_reference_live_docs"]
+    recoverable = ["no_pending_merge", "tombstones_reference_live_docs",
+                   "tokenizer_matches_build"]
     if any(checks.get(k) is False for k in structural):
         status = UNHEALTHY
     elif any(checks.get(k) is False for k in recoverable):

@@ -70,3 +70,21 @@ def test_missing_table_unhealthy(spark, tmp_path):
     r = check_index(spark, out)
     assert r["status"] == "unhealthy"
     assert not r["checks"]["table_stats_present"]
+
+
+def test_tokenizer_mismatch_degrades(spark, tmp_path):
+    """Serving with a different non-ASCII tokenizer than the build used
+    (commit manifest `tokenizer` key) is recoverable-but-risky: degraded."""
+    import json as _json
+    out = _build(spark, tmp_path)
+    from diagon_spark.index.builder import IndexCatalog
+    latest = IndexCatalog.list_commits(out)[-1]
+    meta = _json.loads(latest.read_text())
+    assert meta["tokenizer"] in ("icu", "ascii+regex")
+    meta["tokenizer"] = ("icu" if meta["tokenizer"] == "ascii+regex"
+                         else "ascii+regex")
+    latest.write_text(_json.dumps(meta))
+    r = check_index(spark, out, verify_postings=False)
+    assert r["status"] == "degraded"
+    assert not r["checks"]["tokenizer_matches_build"]
+    assert any("tokenize" in m for m in r["messages"])
