@@ -149,6 +149,9 @@ class IndexCatalog:
     # commit generation this handle was opened at (IndexCommit analogue);
     # None for a not-yet-committed builder handle. commit() advances it.
     generation: int | None = None
+    # parsed metadata of the commit this handle was opened at (load) or
+    # last published (commit) — one source of truth for readers
+    commit_meta: dict | None = None
 
     @property
     def default_field(self) -> str:
@@ -212,6 +215,7 @@ class IndexCatalog:
             root=root,
             fields=list(meta.get("fields") or ["content"]),
             generation=opened_gen,
+            commit_meta=meta,
             **{k: meta[k] for k in ("num_buckets", "num_segments",
                                     "has_positions", "key_cols")})
 
@@ -222,6 +226,17 @@ class IndexCatalog:
         gen = (IndexCatalog._gen_of(existing[-1]) + 1) if existing else 0
         from diagon_spark.analysis.tokenizer import HAVE_ICU
         from diagon_spark.index.codec import CODEC_NAME
+        # which non-ASCII tokenizer BUILT this index (the ASCII fast path
+        # is identical either way, but non-ASCII rows under ICU UAX#29
+        # differ from the regex fallback, so serving should match this
+        # flag — check_index compares). Maintenance commits (deletes,
+        # merge, rollback) never re-tokenize, so they INHERIT the flag of
+        # the commit they extend rather than re-stamping the current
+        # environment; only a first build (or an explicit extra override,
+        # e.g. a custom analyzer) sets it.
+        prev_tok = None
+        if existing:
+            prev_tok = json.loads(existing[-1].read_text()).get("tokenizer")
         meta = {
             "num_buckets": self.num_buckets,
             "num_segments": self.num_segments,
@@ -229,11 +244,8 @@ class IndexCatalog:
             "key_cols": self.key_cols,
             "fields": self.fields,
             "codec": CODEC_NAME,  # Codec SPI: readers validate via registry
-            # which non-ASCII tokenizer built this index (informational —
-            # the ASCII fast path is identical either way, but non-ASCII
-            # rows tokenized under ICU UAX#29 differ from the regex
-            # fallback, so serving should match the build-side flag)
-            "tokenizer": "icu" if HAVE_ICU else "ascii+regex",
+            "tokenizer": prev_tok or ("icu" if HAVE_ICU
+                                      else "ascii+regex"),
             "ts": time.time(),
             **(extra or {}),
         }
@@ -677,7 +689,12 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
 
     if persist_tokens:
         docs.unpersist()
-    cat.commit({"batches_run": n_run, **(commit_extra or {})})
+    # a custom analyzer bypasses the standard tokenizer entirely — stamp
+    # the manifest so check_index skips the icu/regex comparison instead
+    # of degrading a perfectly consistent analyzer-built index
+    tok_extra = ({"tokenizer": "custom-analyzer"} if analyzer is not None
+                 else {})
+    cat.commit({"batches_run": n_run, **tok_extra, **(commit_extra or {})})
     return cat
 
 

@@ -60,14 +60,16 @@ def check_index(spark: SparkSession, root: str,
                     "merge.repair_merge(root) before writing")
 
     # serving with a different non-ASCII tokenizer than the build used
-    # diverges silently on non-ASCII queries (commit manifest records the
-    # build-side flag; the ASCII fast path is identical either way)
-    import json as _json
+    # diverges silently on non-ASCII queries. The commit manifest records
+    # the build-side flag (maintenance commits inherit it; custom-analyzer
+    # builds stamp "custom-analyzer" and are skipped here). Caveat: the
+    # flag reflects the BUILD DRIVER's environment — on a cluster whose
+    # executors differ from their driver (mismatched images), this check
+    # can't see it; keep images homogeneous.
     from diagon_spark.analysis.tokenizer import HAVE_ICU
-    meta = _json.loads(IndexCatalog.list_commits(root)[-1].read_text())
-    built_tok = meta.get("tokenizer")
+    built_tok = (cat.commit_meta or {}).get("tokenizer")
     current_tok = "icu" if HAVE_ICU else "ascii+regex"
-    if built_tok is not None:
+    if built_tok in ("icu", "ascii+regex"):
         checks["tokenizer_matches_build"] = built_tok == current_tok
         if built_tok != current_tok:
             msgs.append(f"index built with tokenizer={built_tok} but this "

@@ -227,7 +227,9 @@ def _fill_block_stats(stats_out: dict | None, postings: dict,
     if stats_out is None:
         return
     tot = dec = 0
-    for t in terms:
+    # dedupe: a term repeated across occur lists (must+should,
+    # must+must_not) has ONE postings list — count its blocks once
+    for t in dict.fromkeys(terms):
         sp = postings.get(t)
         if sp is None:
             continue
@@ -514,13 +516,18 @@ def conjunction(postings: dict, params: dict,
     per_term = []
     n_should = np.zeros(len(cand), dtype=np.int32)
     lo, hi = int(cand.min()), int(cand.max())
-    for t in [*must, *should]:  # clause order for float32 accumulation
+    # clause order for float32 accumulation; occur tag distinguishes a
+    # term present in BOTH lists (it scores once per clause, but counts
+    # toward minShouldMatch only for its SHOULD occurrence — the
+    # `t in should` membership test double-counted it on the must pass)
+    for occ, t in [*(("must", t) for t in must),
+                   *(("should", t) for t in should)]:
         if t not in postings:
             continue
         d, tf, nn = postings[t].docs_in_range(lo, hi)
         m = np.isin(d, cand, assume_unique=True)
         per_term.append((d[m], params[t].score(tf[m], nn[m], f64)))
-        if t in should:
+        if occ == "should":
             idx = np.searchsorted(cand, d[m])
             n_should[idx] += 1
     acc, _ = _accumulate(cand, per_term, f64)

@@ -88,3 +88,26 @@ def test_tokenizer_mismatch_degrades(spark, tmp_path):
     assert r["status"] == "degraded"
     assert not r["checks"]["tokenizer_matches_build"]
     assert any("tokenize" in m for m in r["messages"])
+
+
+def test_maintenance_commit_inherits_tokenizer_flag(spark, tmp_path):
+    """Deletes/merges never re-tokenize: their commits must carry the
+    BUILD-side tokenizer flag forward, not re-stamp the current
+    environment (which would erase the mismatch check_index looks for)."""
+    import json as _json
+
+    from diagon_spark.index.deletes import delete_documents
+
+    out = _build(spark, tmp_path)
+    from diagon_spark.index.builder import IndexCatalog
+    latest = IndexCatalog.list_commits(out)[-1]
+    meta = _json.loads(latest.read_text())
+    other = "icu" if meta["tokenizer"] == "ascii+regex" else "ascii+regex"
+    meta["tokenizer"] = other  # pretend the build env differed
+    latest.write_text(_json.dumps(meta))
+
+    cat = IndexCatalog.load(out)
+    vdf = spark.createDataFrame([(0,)], "doc_id long")
+    delete_documents(spark, cat, vdf, join_cols=["doc_id"])  # new commit
+    newest = _json.loads(IndexCatalog.list_commits(out)[-1].read_text())
+    assert newest["tokenizer"] == other  # inherited, not re-stamped

@@ -84,3 +84,15 @@ def test_profile_counts_blocks_of_zero_hit_segments(spark, idx):
     # search_with_total agrees: zero hits, exact zero total
     hits, total, rel = s.search_with_total(q, k=10)
     assert hits == [] and total == 0 and rel == "eq"
+
+
+def test_block_counters_dedupe_repeated_terms(spark, idx):
+    """A term repeated across occur lists has ONE postings list — its
+    blocks must be counted once, not once per occurrence."""
+    _, cat = idx
+    s = Searcher(spark, cat)
+    base = s.profile(Boolean(must=[Term("int")], should=[Term("never_x")]),
+                     k=10)["blocks_total"]
+    dup = s.profile(Boolean(must=[Term("int")], must_not=[Term("int")]),
+                    k=10)["blocks_total"]
+    assert dup == base  # same single postings list either way

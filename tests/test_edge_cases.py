@@ -199,3 +199,21 @@ def test_filter_boolean_local_parity(searcher):
                       for r in searcher.search(q, k=10).collect()]
         assert ls.search(q, k=10) == spark_hits, q
         assert ls.count(q) == searcher.count(q), q
+
+
+def test_duplicate_term_in_must_and_should_msm(spark, tmp_path):
+    """A term appearing in BOTH must and should scores once per clause
+    but counts toward minShouldMatch only for its SHOULD occurrence —
+    the flat path double-counted it on the must pass, disagreeing with
+    count()/the tree path on the same query."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["alpha alpha", "alpha beta", "beta"]})
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=1, num_buckets=2,
+                      id_col="doc_id", content_col="text", positions=False)
+    s = Searcher(spark, cat)
+    q = Boolean(must=[Term("alpha")], should=[Term("alpha"), Term("beta")],
+                min_should_match=2)
+    got = [int(r.doc_id) for r in s.search(q, k=10).collect()]
+    assert got == [2]          # doc 1 matches only ONE should clause
+    assert s.count(q) == 1     # flat search and tree count agree
