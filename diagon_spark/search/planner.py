@@ -147,7 +147,14 @@ class PlannerMixin:
             must_not, filt = keys_of(q.must_not), keys_of(q.filter)
             boosts = {}
             for c in (*q.must, *q.should):
-                boosts[(self._resolve_field(c.field), c.term)] = c.boost
+                key = (self._resolve_field(c.field), c.term)
+                if key in boosts and boosts[key] != c.boost:
+                    # same term in two scoring clauses with DIFFERENT
+                    # boosts: the flat path keys params by term and can
+                    # carry only one boost — route to the tree path,
+                    # which scores each clause with its own boost
+                    return None
+                boosts[key] = c.boost
             all_keys = sorted({*must, *should, *must_not, *filt})
             params = {k: self._params_for(k, boosts.get(k, 1.0))
                       for k in all_keys}

@@ -217,3 +217,23 @@ def test_duplicate_term_in_must_and_should_msm(spark, tmp_path):
     got = [int(r.doc_id) for r in s.search(q, k=10).collect()]
     assert got == [2]          # doc 1 matches only ONE should clause
     assert s.count(q) == 1     # flat search and tree count agree
+
+
+def test_duplicate_term_different_boosts_routes_to_tree(spark, tmp_path):
+    """Same term in two scoring clauses with different boosts: the flat
+    path can carry only one boost per term, so the planner must route to
+    the tree path, which scores each clause with its own boost (total =
+    (b1 + b2) x base term score — boost is linear in the idf factor)."""
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "beta"]})
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=1, num_buckets=2,
+                      id_col="doc_id", content_col="text", positions=False)
+    s = Searcher(spark, cat)
+    base = {int(r.doc_id): float(r.score)
+            for r in s.search(Term("alpha"), k=10, f64=True).collect()}
+    q = Boolean(must=[Term("alpha", boost=2.0)],
+                should=[Term("alpha", boost=0.5)])
+    got = {int(r.doc_id): float(r.score)
+           for r in s.search(q, k=10, f64=True).collect()}
+    assert set(got) == {1}
+    assert abs(got[1] - 2.5 * base[1]) < 1e-9
