@@ -237,6 +237,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").cast("long").alias("n"),
                      F.round(F.sum("value"), 4).alias("sum_value")))
 
+    def histogram_doclen(spark, sf):
+        # diagon_compute_histogram parity: fixed-interval histogram over
+        # the doc_len doc-values column of ALL docs
+        return _searcher(spark, sf).histogram("doc_len", 0, 10.0, 30)
+
+    def date_histogram_doclen(spark, sf):
+        # diagon_search_with_date_histogram parity: docs matching the
+        # query (match set, no scoring) bucketed by doc_len
+        return _searcher(spark, sf).date_histogram(
+            Term(SINGLE_TERM), "doc_len", 10.0, 0.0, 1000.0)
+
     def token_counts(spark, sf):
         return textstats.token_counts(_docs(spark, sf))
 
@@ -363,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_chars": range_count_chars,
         "events_range_count": events_range_count,
         "events_type_agg": events_type_agg,
+        "histogram_doclen": histogram_doclen,
+        "date_histogram_doclen": date_histogram_doclen,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
         "lang_id": lang_id,
@@ -805,6 +818,17 @@ SELECT COUNT(*) AS n, 'eq' AS relation FROM (
         "ann_lsh": _ANN_LSH_SQL,
         "term_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM tf WHERE term = '{SINGLE_TERM}'""",
+        "histogram_doclen": f"""WITH {_TOK_CTE}
+SELECT CAST(FLOOR(n / 10.0) AS INT) AS bucket, COUNT(*) AS "count"
+FROM docs_n WHERE n >= 0 AND FLOOR(n / 10.0) < 30
+GROUP BY 1 ORDER BY 1""",
+        "date_histogram_doclen": f"""WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{SINGLE_TERM}')
+SELECT CAST(FLOOR(n / 10.0) * 10.0 AS DOUBLE) AS bucket_key,
+       COUNT(*) AS "count"
+FROM m JOIN docs_n USING(doc_id)
+WHERE n >= 0 AND n < 1000
+GROUP BY 1 ORDER BY 1""",
         "range_doclen_count": f"""WITH {_TOK_CTE}
 SELECT COUNT(*) AS n FROM docs_n WHERE n BETWEEN 30 AND 60""",
         "term_bm25_page2": f"""WITH {_TOK_CTE}, {_scores_cte([SINGLE_TERM])}

@@ -44,6 +44,7 @@ _TOTAL_SCHEMA = ("doc_id long, score double, segment_id int, "
                  "seg_total long, seg_exact boolean, "
                  "seg_blocks long, seg_blocks_dec long")
 _COUNT_SCHEMA = "segment_id int, n long"
+_IDS_SCHEMA = "doc_id long"
 
 _BASE_COLS = ["field", "term", "segment_id", "chunk", "df", "doc_blocks",
               "tf_blocks", "norm_bytes", "block_first", "block_last",
@@ -269,13 +270,15 @@ class Searcher(PlannerMixin):
         return hits, total, ("eq" if exact else "gte")
 
     def _run_spec(self, spec: dict, schema: str, *, k: int, f64: bool,
-                  after, count_only: bool = False) -> DataFrame:
+                  after, count_only: bool = False,
+                  ids_only: bool = False) -> DataFrame:
         if spec["kind"] == "none":
             return self.spark.createDataFrame([], schema)
         postings_df = self._postings(spec["all_terms"],
                                      spec["need_positions"])
         aux_df = self._aux_df(spec)
-        seg_fn = _make_segment_fn(spec, k, f64, after, schema, count_only)
+        seg_fn = _make_segment_fn(spec, k, f64, after, schema, count_only,
+                                  ids_only)
         # explicit repartition: the scoring stage is CPU-bound per segment
         # but tiny by bytes, so AQE's size-based coalescing would collapse
         # it to one task; a user-specified partition count (still hashed on
@@ -380,6 +383,67 @@ class Searcher(PlannerMixin):
             "exec_ms": round(exec_ms, 2),
         }
 
+    def matching_docs(self, query: Query) -> DataFrame:
+        """ALL matching doc_ids as a DataFrame (no scoring, no top-k) —
+        the COMPLETE_NO_SCORES DocIdCollector analogue
+        (c_api/diagon_c_api.cpp:1497-1520). Feeds doc-values analytics
+        (date_histogram) and export-style consumers; stays distributed
+        end-to-end."""
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return self.spark.createDataFrame([], _IDS_SCHEMA)
+        if isinstance(q, MatchAll):
+            return self._mask_deleted(self._docs_src).select(
+                F.col("doc_id").cast("long"))
+        if isinstance(q, Range):
+            return self._range_docs(q).select(F.col("doc_id").cast("long"))
+        spec = self.plan(q, force_tree=True)
+        return self._run_spec(spec, _IDS_SCHEMA, k=0, f64=False,
+                              after=None, ids_only=True)
+
+    def histogram(self, field: str, min_value: float, interval: float,
+                  num_buckets: int) -> DataFrame:
+        """Fixed-interval histogram over a numeric doc-values column of
+        ALL docs — diagon_compute_histogram parity
+        (c_api/diagon_c_api.cpp:1257-1350): bucket = int((v-min)/interval),
+        kept iff 0 <= bucket < num_buckets. Like the reference's BKD
+        visitor (which walks point values with no live-docs check),
+        tombstoned docs are counted until a merge purges them. Empty
+        buckets are omitted (the C API's dense zero-filled array is a
+        calling-convention detail). One parquet scan, parquet row-group
+        stats prune out-of-range files, map-side combine on the bucket
+        key."""
+        v = F.col(field).cast("double")
+        b = F.floor((v - F.lit(float(min_value))) / F.lit(float(interval)))
+        return (self._docs_src
+                .filter((b >= 0) & (b < num_buckets))
+                .groupBy(b.cast("int").alias("bucket"))
+                .agg(F.count("*").cast("long").alias("count"))
+                .orderBy("bucket"))
+
+    def date_histogram(self, query: Query, field: str, interval: float,
+                       min_value: float, max_value: float) -> DataFrame:
+        """Query-filtered fixed-interval histogram over a numeric
+        doc-values column — diagon_search_with_date_histogram parity
+        (c_api/diagon_c_api.cpp:1471-1600): docs matching `query` (match
+        set only, no scoring) whose value lies in [min, max) bucket at
+        key = floor((v-min)/interval)*interval + min; only non-empty
+        buckets, ascending by key. The match set is produced distributed
+        (matching_docs) and joined to the doc-values scan — Catalyst
+        picks broadcast vs shuffle by match-set size."""
+        vals = self._docs_src.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(field).cast("double").alias("__v"))
+        vv = F.col("__v")
+        key = (F.floor((vv - F.lit(float(min_value)))
+                       / F.lit(float(interval)))
+               * F.lit(float(interval)) + F.lit(float(min_value)))
+        return (self.matching_docs(query).join(vals, "doc_id")
+                .filter((vv >= min_value) & (vv < max_value))
+                .groupBy(key.cast("double").alias("bucket_key"))
+                .agg(F.count("*").cast("long").alias("count"))
+                .orderBy("bucket_key"))
+
     def count(self, query: Query) -> int:
         """Hit count; O(1) from term_dict for a single live-index term
         (TermQuery.cpp:312-341 Weight::count analogue); arithmetic for
@@ -423,7 +487,7 @@ def _group_postings(pdf: pd.DataFrame) -> dict:
 
 
 def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
-                     count_only: bool):
+                     count_only: bool, ids_only: bool = False):
     """Build the per-segment scoring function (pickled to executors).
     Cogrouped form: (postings_pdf, aux_pdf) where aux rows are
     (segment_id, doc_id, set_id); set -1 = tombstones, set i = the spec's
@@ -440,10 +504,14 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
         banned = aux_sets.pop(-1, None)
         postings = _group_postings(l_pdf)
 
-        if count_only:
+        if count_only or ids_only:
             docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
                                      aux_sets, False)
             keep = wand._mask_banned(docs, banned)
+            if ids_only:
+                if keep is not None:
+                    docs = docs[keep]
+                return pd.DataFrame({"doc_id": docs.astype(np.int64)})
             n = int(keep.sum()) if keep is not None else int(len(docs))
             seg = (int(l_pdf["segment_id"].iloc[0]) if len(l_pdf)
                    else (int(r_pdf["segment_id"].iloc[0])

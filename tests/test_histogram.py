@@ -1,0 +1,90 @@
+"""Histogram aggregations — diagon_compute_histogram /
+diagon_search_with_date_histogram parity (c_api/diagon_c_api.cpp:1257,
+1471): fixed-interval bucketing over numeric doc values, unfiltered and
+query-filtered (match set, no scoring)."""
+
+import collections
+
+import pytest
+
+from diagon_spark import Searcher, build_index
+from diagon_spark.analysis.tokenizer import tokenize
+from diagon_spark.corpus import generate_pandas
+from diagon_spark.search.query import Boolean, MatchAll, Range, Term
+
+
+@pytest.fixture(scope="module")
+def hctx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("histidx"))
+    pdf = generate_pandas(0, 120)
+    cat = build_index(spark, spark.createDataFrame(pdf), out,
+                      num_segments=3, num_buckets=4, positions=False)
+    s = Searcher(spark, cat)
+    docs = {int(r.doc_id): (str(r.content), int(r.doc_len))
+            for r in spark.read.parquet(cat.docs_path)
+            .select("doc_id", "content", "doc_len").collect()}
+    return s, docs
+
+
+def test_histogram_matches_python_oracle(hctx):
+    s, docs = hctx
+    interval, nb = 10.0, 50
+    exp = collections.Counter()
+    for _, (_, n) in docs.items():
+        b = int((n - 0) / interval)
+        if 0 <= b < nb:
+            exp[b] += 1
+    got = {int(r.bucket): int(r["count"])
+           for r in s.histogram("doc_len", 0, interval, nb).collect()}
+    assert got == dict(exp)
+    in_range = sum(1 for _, (_, n) in docs.items() if n < interval * nb)
+    assert sum(got.values()) == in_range
+
+
+def test_histogram_out_of_range_dropped(hctx):
+    s, docs = hctx
+    # num_buckets=2 with interval 5: only doc_len in [0, 10) counted
+    got = {int(r.bucket): int(r["count"])
+           for r in s.histogram("doc_len", 0, 5.0, 2).collect()}
+    exp_n = sum(1 for _, (_, n) in docs.items() if n < 10)
+    assert sum(got.values()) == exp_n
+
+
+def test_date_histogram_query_filtered(hctx):
+    s, docs = hctx
+    term, interval, lo, hi = "int", 10.0, 0.0, 1000.0
+    exp = collections.Counter()
+    for _, (content, n) in docs.items():
+        if term in tokenize(content) and lo <= n < hi:
+            key = float(int((n - lo) / interval) * interval + lo)
+            exp[key] += 1
+    got = {float(r.bucket_key): int(r["count"])
+           for r in s.date_histogram(Term(term), "doc_len",
+                                     interval, lo, hi).collect()}
+    assert got == dict(exp)
+    # keys come back ascending
+    keys = [float(r.bucket_key) for r in
+            s.date_histogram(Term(term), "doc_len", interval,
+                             lo, hi).collect()]
+    assert keys == sorted(keys)
+
+
+def test_date_histogram_boolean_and_matchall(hctx):
+    s, docs = hctx
+    q = Boolean(must=[Term("int")], must_not=[Term("return")])
+    got = s.date_histogram(q, "doc_len", 20.0, 0.0, 1000.0).collect()
+    exp_n = sum(1 for _, (c, n) in docs.items()
+                if "int" in tokenize(c) and "return" not in tokenize(c))
+    assert sum(int(r["count"]) for r in got) == exp_n
+    # MatchAll covers every doc
+    all_rows = s.date_histogram(MatchAll(), "doc_len",
+                                50.0, 0.0, 10_000.0).collect()
+    assert sum(int(r["count"]) for r in all_rows) == len(docs)
+
+
+def test_matching_docs_agrees_with_count(hctx):
+    s, _ = hctx
+    for q in (Term("int"), Boolean(must=[Term("int")],
+                                   must_not=[Term("return")]),
+              Range("doc_len", 10, 50)):
+        assert s.matching_docs(q).count() == s.count(q), q
