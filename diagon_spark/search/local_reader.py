@@ -236,6 +236,27 @@ class LocalSearcher(PlannerMixin):
         return ([(int(a), float(b)) for a, b in zip(d, s)], total,
                 "eq" if exact else "gte")
 
+    def terms(self, field: str | None = None, prefix: str | None = None):
+        """Sorted term enumeration — the TermsEnum analogue
+        (diagon_reader_get_terms / diagon_terms_enum_next/get_term/
+        doc_freq, c_api/diagon_c_api.h): yields (term, df, cttf)
+        ascending by term for one field, optionally restricted to a
+        prefix (seekCeil-style). Reads the term_dict dataset directly —
+        a prefix restriction prunes via the pushed-down filter."""
+        import pyarrow.compute as pc
+        fld = field or self.default_field
+        flt = pc.field("field") == fld
+        if prefix:
+            # prefix range [prefix, prefix+￿) — same trick a
+            # seekCeil over a sorted .tim would use
+            flt = flt & (pc.field("term") >= prefix) \
+                & (pc.field("term") < prefix + "￿")
+        tbl = (self._term_dict_ds.to_table(
+                   columns=["term", "df", "cttf"], filter=flt)
+               .sort_by("term"))
+        for rec in tbl.to_pylist():
+            yield rec["term"], int(rec["df"]), int(rec["cttf"])
+
     def reopen_if_changed(self) -> "LocalSearcher | None":
         """DirectoryReader::openIfChanged analogue
         (index/DirectoryReader.h, tests/unit/index/ReaderReopenTest.cpp):

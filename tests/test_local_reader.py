@@ -74,3 +74,29 @@ def test_local_search_with_total_parity(pair):
     assert hits_l == hits_s
     assert total_l == total_s
     assert rel_l == rel_s
+
+
+def test_terms_enum_sorted_and_prefix(spark, tmp_path):
+    """TermsEnum parity (diagon_reader_get_terms / terms_enum_next):
+    ascending enumeration with exact df/cttf, prefix seek prunes."""
+    import pandas as pd
+
+    from diagon_spark import build_index
+    from diagon_spark.index.builder import IndexCatalog
+    from diagon_spark.search.local_reader import LocalSearcher
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": ["apple apricot banana",
+                                 "apple cherry", "banana banana"]})
+    cat = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "idx"), num_segments=2, num_buckets=4,
+                      id_col="doc_id", content_col="text", positions=False)
+    ls = LocalSearcher(IndexCatalog.load(str(tmp_path / "idx")))
+    all_terms = list(ls.terms())
+    assert [t for t, _, _ in all_terms] == sorted(t for t, _, _ in all_terms)
+    by_term = {t: (df, cttf) for t, df, cttf in all_terms}
+    assert by_term["apple"] == (2, 2)
+    assert by_term["banana"] == (2, 3)
+    assert by_term["apricot"] == (1, 1)
+    ap = [t for t, _, _ in ls.terms(prefix="ap")]
+    assert ap == ["apple", "apricot"]
