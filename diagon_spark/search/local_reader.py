@@ -236,6 +236,70 @@ class LocalSearcher(PlannerMixin):
         return ([(int(a), float(b)) for a, b in zip(d, s)], total,
                 "eq" if exact else "gte")
 
+    def matching_doc_ids(self, query: Query) -> np.ndarray:
+        """ALL doc_ids matching any query (no scoring, deletes masked,
+        sorted asc) — the COMPLETE_NO_SCORES DocIdCollector analogue on
+        the serving tier (c_api/diagon_c_api.cpp:1497-1520)."""
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
+            return np.zeros(0, np.int64)
+        if isinstance(q, (MatchAll, Range)):
+            return self._matching_doc_ids(q)
+        spec = self.plan(q, force_tree=True)
+        parts = []
+        for postings, aux in self._segment_groups(spec):
+            docs, _ = wand.eval_tree(spec["root"], postings,
+                                     spec["params"], aux, False)
+            keep = wand._mask_banned(docs, self.deleted)
+            parts.append(docs[keep] if keep is not None else docs)
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.sort(np.concatenate(parts))
+
+    def histogram(self, field: str, min_value: float, interval: float,
+                  num_buckets: int) -> list[tuple[int, int]]:
+        """diagon_compute_histogram on the serving tier: fixed-interval
+        histogram over a numeric doc-values column of ALL docs (like the
+        reference's BKD visitor, tombstoned docs count until a merge
+        purges them). Returns non-empty (bucket, count) ascending."""
+        vals = (self._docs_ds.to_table(columns=[field])
+                .column(field).to_numpy().astype(np.float64))
+        b = np.floor((vals - min_value) / interval).astype(np.int64)
+        b = b[(b >= 0) & (b < num_buckets)]
+        uniq, counts = np.unique(b, return_counts=True)
+        return [(int(u), int(c)) for u, c in zip(uniq, counts)]
+
+    def date_histogram(self, query: Query, field: str, interval: float,
+                       min_value: float, max_value: float
+                       ) -> list[tuple[float, int]]:
+        """diagon_search_with_date_histogram on the serving tier: bucket
+        the doc values of docs MATCHING `query` (match set, no scoring);
+        non-empty (bucket_key, count) ascending by key."""
+        ids = self.matching_doc_ids(query)
+        if len(ids) == 0:
+            return []
+        tbl = self._docs_ds.to_table(columns=["doc_id", field])
+        dids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        vals = tbl.column(field).to_numpy().astype(np.float64)
+        m = np.isin(dids, ids) & (vals >= min_value) & (vals < max_value)
+        keys = (np.floor((vals[m] - min_value) / interval) * interval
+                + min_value)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return [(float(u), int(c)) for u, c in zip(uniq, counts)]
+
+    def fetch(self, doc_ids: list[int],
+              columns: list[str] | None = None) -> list[dict]:
+        """Stored-fields point lookup — diagon_reader_get_document
+        analogue: rows of the docs table for the given ids, in the given
+        id order (pyarrow scan with a pushed id filter)."""
+        import pyarrow.compute as pc
+        ids = [int(d) for d in doc_ids]
+        tbl = self._docs_ds.to_table(
+            columns=columns,
+            filter=pc.field("doc_id").isin(ids))
+        by_id = {int(r["doc_id"]): r for r in tbl.to_pylist()}
+        return [by_id[d] for d in ids if d in by_id]
+
     def terms(self, field: str | None = None, prefix: str | None = None):
         """Sorted term enumeration — the TermsEnum analogue
         (diagon_reader_get_terms / diagon_terms_enum_next/get_term/

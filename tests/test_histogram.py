@@ -88,3 +88,31 @@ def test_matching_docs_agrees_with_count(hctx):
                                    must_not=[Term("return")]),
               Range("doc_len", 10, 50)):
         assert s.matching_docs(q).count() == s.count(q), q
+
+
+def test_local_searcher_histograms_match_spark(hctx):
+    """Serving-tier parity: LocalSearcher histogram/date_histogram/
+    matching_doc_ids/fetch agree with the Spark path on the same index."""
+    s, docs = hctx
+    from diagon_spark.search.local_reader import LocalSearcher
+    ls = LocalSearcher(s.cat)
+
+    spark_h = [(int(r.bucket), int(r["count"]))
+               for r in s.histogram("doc_len", 0, 10.0, 50).collect()]
+    assert ls.histogram("doc_len", 0, 10.0, 50) == spark_h
+
+    q = Boolean(must=[Term("int")], must_not=[Term("return")])
+    spark_dh = [(float(r.bucket_key), int(r["count"]))
+                for r in s.date_histogram(q, "doc_len", 10.0, 0.0,
+                                          1000.0).collect()]
+    assert ls.date_histogram(q, "doc_len", 10.0, 0.0, 1000.0) == spark_dh
+
+    ids_local = ls.matching_doc_ids(q)
+    ids_spark = sorted(int(r.doc_id)
+                       for r in s.matching_docs(q).collect())
+    assert list(ids_local) == ids_spark
+
+    got = ls.fetch([int(x) for x in ids_local[:3]],
+                   columns=["doc_id", "doc_len"])
+    assert [g["doc_id"] for g in got] == [int(x) for x in ids_local[:3]]
+    assert all(g["doc_len"] == docs[g["doc_id"]][1] for g in got)
