@@ -285,6 +285,24 @@ def repair_merge(root: str) -> str | None:
     return outcome
 
 
+def maybe_merge(spark: SparkSession, cat: IndexCatalog,
+                max_segments: int = 32,
+                target_segments: int | None = None) -> IndexCatalog:
+    """Policy-gated compaction — the IndexWriter::maybeMerge analogue
+    (tests/unit/index/MaybeMergeTest.cpp): a no-op while the index holds
+    at most `max_segments` segments (SegmentsBoundedDuringBulkIndexing /
+    NoMergeForSingleSegment); above the bound, runs a crash-safe
+    commit_merge down to `target_segments` (default max_segments // 2,
+    the tiered-policy idea of merging well below the trigger so appends
+    don't re-trigger immediately). Call it after append epochs to keep
+    per-query segment fan-out bounded."""
+    if cat.num_segments <= max_segments:
+        return cat
+    return commit_merge(spark, cat,
+                        num_segments=target_segments
+                        or max(1, max_segments // 2))
+
+
 def commit_merge(spark: SparkSession, cat: IndexCatalog,
                  num_segments: int = 1) -> IndexCatalog:
     """In-place compaction — the writer.commitMergeResults() analogue

@@ -157,3 +157,26 @@ def test_repair_noop_without_sentinel(spark, tmp_path):
     from diagon_spark.index import merge as m
     out, _, _, _ = _setup_with_deletes(spark, tmp_path)
     assert m.repair_merge(out) is None
+
+
+def test_maybe_merge_policy_gate(spark, tmp_path):
+    """MaybeMergeTest parity: no-op at or under the bound, compacts
+    (and stays searchable) above it."""
+    from diagon_spark.corpus import generate_pandas
+    from diagon_spark.index.merge import maybe_merge
+
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_pandas(0, 60)), out,
+                num_segments=6, num_buckets=4, positions=False)
+    cat = IndexCatalog.load(out)
+    # under the bound: same handle back, no new commit
+    before = len(IndexCatalog.list_commits(out))
+    assert maybe_merge(spark, cat, max_segments=8) is cat
+    assert len(IndexCatalog.list_commits(out)) == before
+    # above the bound: compacts to max_segments // 2, results intact
+    pre = {d for d, _ in LocalSearcher(cat).search(Term("int"), k=1000)}
+    merged = maybe_merge(spark, cat, max_segments=4)
+    assert merged.num_segments == 2
+    ls = LocalSearcher(IndexCatalog.load(out))
+    assert ls.count(MatchAll()) == 60
+    assert {d for d, _ in ls.search(Term("int"), k=1000)} == pre
