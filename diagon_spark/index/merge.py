@@ -350,12 +350,24 @@ def commit_merge(spark: SparkSession, cat: IndexCatalog,
         # invalidate any session-cached file listing of the swapped path
         spark.catalog.refreshByPath(str(dst))
 
+    # stream-epoch bookkeeping must SURVIVE commit pruning: gather every
+    # epoch published by the commits about to be deleted so streaming
+    # replay idempotency (incremental.committed_epochs) keeps holding
+    import json as _json
+    epochs: set[int] = set()
+    for p in IndexCatalog.list_commits(cat.root):
+        m = _json.loads(p.read_text())
+        if "stream_epoch" in m:
+            epochs.add(int(m["stream_epoch"]))
+        epochs.update(int(e) for e in m.get("merged_epochs", []))
+
     out = IndexCatalog(root=cat.root, num_buckets=cat.num_buckets,
                        num_segments=num_segments,
                        has_positions=cat.has_positions,
                        key_cols=cat.key_cols, fields=cat.fields)
     out.commit({"merge_committed": True,
-                "merged_from_segments": cat.num_segments})
+                "merged_from_segments": cat.num_segments,
+                **({"merged_epochs": sorted(epochs)} if epochs else {})})
 
     # cleanup — a crash anywhere below rolls FORWARD via repair_merge
     for sub in _MERGE_TABLES:

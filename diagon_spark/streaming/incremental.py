@@ -39,11 +39,19 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
                  key_cols: list[str] | None = None, id_col: str | None = None,
                  content_col: str = "content",
                  fields: list[str] | None = None, positions: bool = True,
-                 available_now: bool = True):
+                 available_now: bool = True,
+                 compact_max_segments: int | None = None):
     """Incrementally index parquet files arriving under source_dir.
 
     Returns the StreamingQuery (already started). With available_now the
     caller should `query.awaitTermination()` then `IndexCatalog.load`.
+
+    `compact_max_segments` bounds segment fan-out under continuous
+    appends: after each epoch, merge.maybe_merge runs a crash-safe
+    in-place compaction once the count exceeds the bound (the
+    commit-time-merge pattern, MaybeMergeTest.cpp::CommitTimeMerge).
+    Compaction preserves stream-epoch bookkeeping, so replays of
+    already-merged epochs stay no-ops.
     """
 
     def process_batch(batch_df, batch_id: int) -> None:
@@ -63,6 +71,11 @@ def index_stream(spark: SparkSession, source_dir: str, out_dir: str,
             key_cols=key_cols, id_col=id_col, content_col=content_col,
             fields=fields, positions=positions, append=exists,
             segment_base=base, commit_extra={"stream_epoch": epoch})
+        if compact_max_segments is not None:
+            from diagon_spark.index.merge import maybe_merge
+            maybe_merge(batch_df.sparkSession,
+                        IndexCatalog.load(out_dir),
+                        max_segments=compact_max_segments)
 
     stream = (spark.readStream.schema(schema).parquet(source_dir))
     writer = (stream.writeStream
@@ -82,6 +95,8 @@ def committed_epochs(out_dir: str) -> set[int]:
         meta = json.loads(p.read_text())
         if "stream_epoch" in meta:
             out.add(int(meta["stream_epoch"]))
+        # compaction prunes old commits but carries their epochs forward
+        out.update(int(e) for e in meta.get("merged_epochs", []))
     return out
 
 
