@@ -500,19 +500,32 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
     return base
 
 
-def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
-                num_segments: int = 8, num_buckets: int = 16,
-                key_cols: list[str] | None = None, id_col: str | None = None,
-                content_col: str = "content",
-                fields: list[str] | None = None,
-                positions: bool = True,
-                segment_batches: int = 1, max_batches: int | None = None,
-                resume: bool = False, analyzer=None,
-                persist_tokens: bool = False, append: bool = False,
-                segment_base: int = 0,
-                store_content: bool = True,
-                commit_extra: dict | None = None,
-                bloom_ndv: int = DEFAULT_BLOOM_NDV) -> IndexCatalog:
+def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
+                **kwargs) -> IndexCatalog:
+    """Single-writer entry point: acquires `<out_dir>/write.lock` for the
+    duration of the build (IndexWriter lock semantics — a second
+    concurrent writer on the same root fails fast instead of corrupting
+    the commit chain; see index/lock.py). All build options are forwarded
+    to `_build_index_impl`, whose docstring documents them."""
+    from diagon_spark.index.lock import write_lock
+    with write_lock(out_dir):
+        return _build_index_impl(spark, df, out_dir, **kwargs)
+
+
+def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
+                      num_segments: int = 8, num_buckets: int = 16,
+                      key_cols: list[str] | None = None,
+                      id_col: str | None = None,
+                      content_col: str = "content",
+                      fields: list[str] | None = None,
+                      positions: bool = True,
+                      segment_batches: int = 1, max_batches: int | None = None,
+                      resume: bool = False, analyzer=None,
+                      persist_tokens: bool = False, append: bool = False,
+                      segment_base: int = 0,
+                      store_content: bool = True,
+                      commit_extra: dict | None = None,
+                      bloom_ndv: int = DEFAULT_BLOOM_NDV) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     `fields` lists the document columns to index, each as its own field
@@ -700,6 +713,15 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str, *,
 
 def rollback(spark: SparkSession, root: str, generation: int
              ) -> IndexCatalog:
+    """Single-writer wrapper around `_rollback_impl` (write.lock held for
+    the duration — rollback rewrites postings/docs tables in place)."""
+    from diagon_spark.index.lock import write_lock
+    with write_lock(root):
+        return _rollback_impl(spark, root, generation)
+
+
+def _rollback_impl(spark: SparkSession, root: str, generation: int
+                   ) -> IndexCatalog:
     """Roll the index back to an older commit point — the
     IndexWriter::rollback / open-at-IndexCommit analogue
     (index/IndexWriter.h:251). Segments appended after that commit are

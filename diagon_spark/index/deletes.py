@@ -45,13 +45,17 @@ def delete_documents(spark: SparkSession, cat: IndexCatalog,
                      deletes_df: DataFrame,
                      join_cols: list[str] | None = None) -> int:
     """Tombstone matching docs; returns the number deleted. Atomic via a
-    new commit generation (deleteDocuments analogue)."""
-    hits = resolve_deletes(spark, cat, deletes_df, join_cols)
-    n = hits.count()
-    if n:
-        hits.write.mode("append").parquet(f"{cat.root}/deleted")
-    cat.commit({"deleted_added": n})
-    return n
+    new commit generation (deleteDocuments analogue). Holds write.lock —
+    the tombstone append + commit must not interleave with another
+    writer's commit-generation allocation."""
+    from diagon_spark.index.lock import write_lock
+    with write_lock(cat.root):
+        hits = resolve_deletes(spark, cat, deletes_df, join_cols)
+        n = hits.count()
+        if n:
+            hits.write.mode("append").parquet(f"{cat.root}/deleted")
+        cat.commit({"deleted_added": n})
+        return n
 
 
 def deleted_docs_df(spark: SparkSession, cat: IndexCatalog) -> DataFrame | None:

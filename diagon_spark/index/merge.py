@@ -157,7 +157,16 @@ def merge_segments(spark: SparkSession, cat: IndexCatalog, out_dir: str,
                    num_segments: int = 1) -> IndexCatalog:
     """Merge/compact to `num_segments` segments under out_dir, purging
     tombstoned docs (the TieredMergePolicy compaction step; num_segments=1
-    is forceMerge(1))."""
+    is forceMerge(1)). Holds out_dir's write.lock — the merge target is a
+    new index root being written and committed."""
+    from diagon_spark.index.lock import write_lock
+    with write_lock(out_dir):
+        return _merge_segments_impl(spark, cat, out_dir, num_segments)
+
+
+def _merge_segments_impl(spark: SparkSession, cat: IndexCatalog,
+                         out_dir: str, num_segments: int = 1
+                         ) -> IndexCatalog:
     from diagon_spark._ship import ensure_shipped
     from diagon_spark.index.deletes import deleted_docs_df
     ensure_shipped(spark)
@@ -305,6 +314,17 @@ def maybe_merge(spark: SparkSession, cat: IndexCatalog,
 
 def commit_merge(spark: SparkSession, cat: IndexCatalog,
                  num_segments: int = 1) -> IndexCatalog:
+    """Single-writer wrapper around `_commit_merge_impl`: the in-place
+    table swaps REQUIRE exclusivity, so the round-3 docstring's
+    "single-writer assumption" is now enforced by `<root>/write.lock`
+    (index/lock.py) instead of merely documented."""
+    from diagon_spark.index.lock import write_lock
+    with write_lock(cat.root):
+        return _commit_merge_impl(spark, cat, num_segments)
+
+
+def _commit_merge_impl(spark: SparkSession, cat: IndexCatalog,
+                       num_segments: int = 1) -> IndexCatalog:
     """In-place compaction — the writer.commitMergeResults() analogue
     (index/IndexWriter.h merge lifecycle,
     tests/unit/index/MergeCommitPointTest.cpp): merge to `num_segments`
