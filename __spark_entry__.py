@@ -31,6 +31,7 @@ AND2 = ["table", "value"]
 OR5 = ["join", "window", "batch", "query", "line"]
 OR10 = OR5 + ["spark", "order", "column", "hash", "scan"]
 PHRASE = ["fast", "slow"]
+SLOPPY_SLOP = 2
 MSM_N = 2
 
 _IDX_VERSION = "v5"  # bump to invalidate cached tmp indexes on format change
@@ -147,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nested tree: phrase MUST + term SHOULD (BooleanQuery.cpp:557
         # composition — VERDICT r01 top ask)
         q = Boolean(must=[Phrase(tuple(PHRASE))], should=[Term(SINGLE_TERM)])
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def sloppy_phrase_bm25(spark, sf):
+        # slop>0 builder-surface parity (PhraseQuery.h:68-75): ordered
+        # near-match, tf = matching starts, rarest-term idf
+        q = Phrase(tuple(PHRASE), slop=SLOPPY_SLOP)
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
     def nested_bool_bm25(spark, sf):
@@ -358,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_bm25": filter_bm25,
         "msm_bm25": msm_bm25,
         "phrase_bm25": phrase_bm25,
+        "sloppy_phrase_bm25": sloppy_phrase_bm25,
         "bool_phrase_bm25": bool_phrase_bm25,
         "nested_bool_bm25": nested_bool_bm25,
         "multifield_bm25": multifield_bm25,
@@ -505,6 +513,38 @@ starts AS (
   SELECT a.doc_id, a.pos FROM tok a
   WHERE a.term = '{t0}'
   {exists}
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS total
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _sloppy_phrase_sql(terms: list[str], slop: int) -> str:
+    """2-term sloppy phrase oracle. Engine semantics (query.Phrase
+    slop>0): start a matches iff an occurrence of the second term exists
+    at a position in (a, a + 1 + slop] — for two terms the greedy
+    minimal-next chain reduces exactly to this EXISTS; tf = matching
+    starts, idf = rarest term's df (identical scoring to exact phrase)."""
+    assert len(terms) == 2, "driver sloppy oracle is the 2-term form"
+    t0 = terms[0].replace("'", "''")
+    t1 = terms[1].replace("'", "''")
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  AND EXISTS (SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
+              AND b.term = '{t1}'
+              AND b.pos > a.pos AND b.pos <= a.pos + 1 + {int(slop)})
 ),
 pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
 SELECT doc_id, ROUND(total, 6) AS score FROM (
@@ -782,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_bm25": _filter_sql([SINGLE_TERM], ["window"]),
         "msm_bm25": _or_sql(OR5, msm=MSM_N),
         "phrase_bm25": _phrase_sql(PHRASE),
+        "sloppy_phrase_bm25": _sloppy_phrase_sql(PHRASE, SLOPPY_SLOP),
         "bool_phrase_bm25": _bool_phrase_sql(PHRASE, SINGLE_TERM),
         "nested_bool_bm25": _nested_bool_sql(["table", "value"],
                                              SINGLE_TERM, "window"),

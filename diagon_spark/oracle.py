@@ -136,8 +136,32 @@ def _topk(scores: dict[int, np.float32], k: int) -> list[tuple[int, float]]:
 
 # --------------------------------------------------------- query trees
 
-def phrase_scores(idx: OracleIndex, terms: list[str]) -> dict[int, np.float32]:
-    """All docs matching the exact phrase -> f32 score (rarest-term idf)."""
+def _sloppy_start_matches(start: int, pos_lists: list[list[int]],
+                          slop: int) -> bool:
+    """Brute-force existence check for ONE start position: is there an
+    increasing in-order assignment p_1 < ... < p_{n-1} (all > start) with
+    (p_last - start) - (n-1) <= slop? Enumerates every combination inside
+    the bounded window — deliberately a DIFFERENT algorithm from the
+    engine's greedy chaining (wand.phrase_matches) so the test oracle is
+    independent."""
+    import itertools
+    n = len(pos_lists) + 1
+    limit = start + (n - 1) + slop
+    windows = [[p for p in pl if start < p <= limit] for pl in pos_lists]
+    if any(not w for w in windows):
+        return False
+    for combo in itertools.product(*windows):
+        seq = (start, *combo)
+        if all(b > a for a, b in zip(seq, seq[1:])):
+            return True
+    return False
+
+
+def phrase_scores(idx: OracleIndex, terms: list[str],
+                  slop: int = 0) -> dict[int, np.float32]:
+    """All docs matching the phrase -> f32 score (rarest-term idf).
+    slop=0 exact (PhraseQuery.cpp:28-34); slop>0 ordered near-match per
+    query.Phrase, freq = number of matching start positions."""
     if not terms:
         return {}
     cand = set(idx.postings.get(terms[0], {}))
@@ -154,11 +178,17 @@ def phrase_scores(idx: OracleIndex, terms: list[str]) -> dict[int, np.float32]:
     scorer = bm25.sim_scorer(min_df, doc_count, sttf)
     out: dict[int, np.float32] = {}
     for d in cand:
-        starts = set(idx.postings[terms[0]][d])
-        for i, t in enumerate(terms[1:], start=1):
-            starts &= {p - i for p in idx.postings[t][d]}
-        if starts:
-            out[d] = scorer.score(np.array([len(starts)]),
+        if slop == 0:
+            starts = set(idx.postings[terms[0]][d])
+            for i, t in enumerate(terms[1:], start=1):
+                starts &= {p - i for p in idx.postings[t][d]}
+            freq = len(starts)
+        else:
+            rest = [sorted(idx.postings[t][d]) for t in terms[1:]]
+            freq = sum(1 for a in idx.postings[terms[0]][d]
+                       if _sloppy_start_matches(a, rest, slop))
+        if freq:
+            out[d] = scorer.score(np.array([freq]),
                                   np.array([idx.norm[d]]))[0]
     return out
 
@@ -200,7 +230,8 @@ def eval_query_oracle(query, field_indexes: dict[str, "OracleIndex"],
                     for d, p in idx.postings.get(node.term, {}).items()}
         if isinstance(node, Phrase):
             idx = field_indexes[node.field or default_field]
-            base = phrase_scores(idx, list(node.phrase_terms))
+            base = phrase_scores(idx, list(node.phrase_terms),
+                                 slop=getattr(node, "slop", 0))
             if node.boost != 1.0:
                 return {d: np.float32(s * np.float32(node.boost))
                         for d, s in base.items()}

@@ -56,11 +56,32 @@ class Range(Query):
 
 @dataclass(frozen=True)
 class Phrase(Query):
-    """Exact phrase, slop=0 (PhraseQuery.cpp:28-34)."""
+    """Phrase query. The reference's PhraseQuery builder exposes a slop
+    parameter (search/PhraseQuery.h:68-75) while its scorer implements
+    exact matching, slop=0 (search/PhraseQuery.cpp:28-34); this builder
+    accepts the same surface AND implements non-zero slop:
+
+    * slop=0 — exact consecutive positions (scorer-identical to the
+      reference and bit-identical to this repo's pre-slop behavior);
+    * slop=s>0 — ordered near-match: positions p_0 < p_1 < ... < p_{n-1}
+      for the terms IN ORDER with total slack (p_{n-1} - p_0) - (n-1)
+      <= s. Matching is greedy minimal-next-position per start, which
+      decides existence exactly (taking the smallest next position never
+      hurts the final span); tf = number of matching start positions,
+      scored with the same rarest-term-idf BM25 as exact phrases.
+      Unordered Lucene-style transpositions are deliberately out of
+      scope — the reference has no sloppy scorer to mirror, so the
+      simplest well-defined (and SQL-oracle-expressible) semantics win.
+    """
 
     phrase_terms: tuple[str, ...]
     boost: float = 1.0
     field: str | None = None
+    slop: int = 0
+
+    def __post_init__(self):
+        if self.slop < 0:
+            raise ValueError(f"slop must be >= 0, got {self.slop}")
 
     def terms(self) -> list[str]:
         return list(self.phrase_terms)

@@ -543,17 +543,26 @@ def conjunction(postings: dict, params: dict,
 
 
 def phrase_matches(postings: dict, terms: list,
-                   restrict: tuple[int, int] | None = None):
-    """All docs matching the exact phrase (slop=0) → (docs asc, phrase
-    freqs, norms). PhraseQuery.cpp:28-225: conjunction on docID, then
-    verify pos(term_i) == pos(term_0)+i; tf = #start positions.
+                   restrict: tuple[int, int] | None = None,
+                   slop: int = 0):
+    """All docs matching the phrase → (docs asc, phrase freqs, norms).
+    PhraseQuery.cpp:28-225: conjunction on docID, then position verify;
+    tf = #start positions.
 
-    Vectorized position verification: flatten each term's (doc, pos)
-    pairs over the candidates into composite keys
+    slop=0 (reference scorer semantics): pos(term_i) == pos(term_0)+i.
+    Vectorized verification: flatten each term's (doc, pos) pairs over
+    the candidates into composite keys
     (dense-candidate-index << 32 | position); a phrase start survives
     term i iff key+i exists in term i's key set — one np.isin per term
     instead of a python loop per candidate doc.
-    """
+
+    slop>0 (ordered near-match, see query.Phrase): greedy chaining over
+    the same composite keys — for each surviving start, the minimal key
+    of term i strictly greater than the chain's current key (same doc),
+    then a final span check (p_last - p_0) - (n-1) <= slop. Greedy
+    minimal-next is exact for existence: it minimizes p_last per start,
+    so a start matches iff its greedy chain does. One vectorized
+    searchsorted per term — no per-candidate python loop either way."""
     z = np.zeros(0, np.int64)
     if any(t not in postings for t in terms):
         return z, z, z
@@ -594,9 +603,29 @@ def phrase_matches(postings: dict, terms: list,
         idx = np.searchsorted(cand, np.concatenate(dl)).astype(np.int64)
         keys[t] = (idx << np.int64(32)) + np.concatenate(pl)
 
-    surv = keys[terms[0]]
-    for i, t in enumerate(terms[1:], start=1):
-        surv = surv[np.isin(surv + np.int64(i), keys[t])]
+    if slop == 0:
+        surv = keys[terms[0]]
+        for i, t in enumerate(terms[1:], start=1):
+            surv = surv[np.isin(surv + np.int64(i), keys[t])]
+            if len(surv) == 0:
+                return z, z, z
+    else:
+        # keys are naturally ascending (blocks in doc order, positions
+        # ascending within a doc) but greedy chaining REQUIRES sorted
+        # lookup arrays — sort defensively (near-sorted, cheap)
+        skeys = {t: np.sort(a) for t, a in keys.items()}
+        starts = skeys[terms[0]]
+        cur = starts
+        for t in terms[1:]:
+            nxt = skeys[t]
+            ins = np.searchsorted(nxt, cur + np.int64(1))
+            ok = ins < len(nxt)
+            nxt_val = nxt[np.minimum(ins, len(nxt) - 1)]
+            ok &= (nxt_val >> np.int64(32)) == (cur >> np.int64(32))
+            starts, cur = starts[ok], nxt_val[ok]
+            if len(starts) == 0:
+                return z, z, z
+        surv = starts[(cur - starts) <= np.int64(len(terms) - 1 + slop)]
         if len(surv) == 0:
             return z, z, z
 
@@ -610,9 +639,9 @@ def phrase_matches(postings: dict, terms: list,
 
 def phrase(postings: dict, phrase_params: TermScorerParams,
            terms: list, k: int, f64: bool = False, after=None,
-           banned=None, stats_out: dict | None = None):
-    """Exact-phrase top-k (PhraseQuery.cpp:28-34)."""
-    docs, freqs, norms = phrase_matches(postings, terms)
+           banned=None, stats_out: dict | None = None, slop: int = 0):
+    """Phrase top-k (PhraseQuery.cpp:28-34; slop>0 per query.Phrase)."""
+    docs, freqs, norms = phrase_matches(postings, terms, slop=slop)
     keep = _mask_banned(docs, banned)
     if keep is not None:
         docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
@@ -669,8 +698,10 @@ def eval_tree(node: dict, postings: dict, params: dict, aux_sets: dict,
         return d, np.asarray(params[node["pid"]].score(tf, nn, f64),
                              dtype=dtype)
     if op == "phrase":
-        d, freqs, norms = phrase_matches(postings, [tuple(k) for k in
-                                                    node["keys"]], restrict)
+        d, freqs, norms = phrase_matches(postings,
+                                         [tuple(k) for k in node["keys"]],
+                                         restrict,
+                                         slop=node.get("slop", 0))
         if len(d) == 0:
             return empty
         return d, np.asarray(params[node["pid"]].score(freqs, norms, f64),
