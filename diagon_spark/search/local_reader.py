@@ -20,9 +20,11 @@ clauses: aux doc sets materialize from a pyarrow doc-values scan of the
 docs table (same pattern as `_postings_rows` — parquet row-group stats
 prune the range scan), split per segment exactly like the Spark path's
 cogroup. count() runs the same count-only tree evaluation the Spark
-path uses (no top-k materialization). Deletes are kept as an in-memory
-id set here (serving-tier indexes carry top-k-scale delete sets between
-compactions).
+path uses (no top-k materialization). Tombstones load LAZILY per touched
+segment (pushed segment_id filter on the deleted/ table), so a reader
+over an index carrying millions of tombstones opens and serves point
+queries flat-memory; `maybe_merge` remains the pressure valve that
+purges them for good.
 
 Correctness contract: identical results to Searcher (tested, incl. the
 fuzz parity suite with aux clauses).
@@ -67,14 +69,74 @@ class LocalSearcher(PlannerMixin):
                                         partitioning="hive")
         self._docs_ds = ds.dataset(catalog.docs_path)
         self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
-        tomb: set[int] = set(deleted_doc_ids or [])
+        # Tombstones are loaded LAZILY, per segment (VERDICT r03 ask #7):
+        # opening a reader over an index with millions of tombstones must
+        # not materialize them all — a query loads only the tombstones of
+        # the segments it touches (pushed segment_id filter; the deleted/
+        # table carries segment_id since r2). The global union is still
+        # available via the `deleted` property for the few genuinely
+        # global paths (MatchAll count) and materializes on first use.
+        self._extra_tomb = np.asarray(sorted(set(deleted_doc_ids or [])),
+                                      dtype=np.int64)
         from pathlib import Path
         dp = Path(catalog.root, "deleted")
-        if dp.exists():
-            tomb |= {int(x) for x in
-                     ds.dataset(str(dp)).to_table(columns=["doc_id"])
-                     .column("doc_id").to_pylist()}
-        self.deleted = np.asarray(sorted(tomb), dtype=np.int64)
+        self._tomb_ds = ds.dataset(str(dp)) if dp.exists() else None
+        self._tomb_legacy = (self._tomb_ds is not None and
+                             "segment_id" not in
+                             self._tomb_ds.schema.names)
+        self._tomb_by_seg: dict[int, np.ndarray] = {}
+        self._tomb_all: np.ndarray | None = None
+
+    # ------------------------------------------------------- tombstones
+
+    @property
+    def deleted(self) -> np.ndarray:
+        """Global tombstone union (sorted unique) — lazy; prefer the
+        per-segment `_banned_for` in scoring paths."""
+        if self._tomb_all is None:
+            parts = [self._extra_tomb]
+            if self._tomb_ds is not None:
+                parts.append(self._tomb_ds.to_table(columns=["doc_id"])
+                             .column("doc_id").to_numpy()
+                             .astype(np.int64))
+            self._tomb_all = np.unique(np.concatenate(parts)) \
+                if any(len(p) for p in parts) else np.zeros(0, np.int64)
+        return self._tomb_all
+
+    @property
+    def _has_tombstones(self) -> bool:
+        return self._tomb_ds is not None or len(self._extra_tomb) > 0
+
+    def _tomb_for_segments(self, segs) -> dict[int, np.ndarray]:
+        """Per-segment tombstone arrays (sorted unique), loading missing
+        segments in ONE pushed-filter scan of the deleted/ table —
+        parquet row-group stats keep the read O(touched tombstones), not
+        O(all tombstones). Legacy tables without segment_id fall back to
+        the global load."""
+        segs = [int(s) for s in segs]
+        if self._tomb_legacy:
+            return {s: self.deleted for s in segs}
+        need = sorted(s for s in set(segs) if s not in self._tomb_by_seg)
+        if need and self._tomb_ds is not None:
+            tbl = self._tomb_ds.to_table(
+                columns=["doc_id", "segment_id"],
+                filter=pc.field("segment_id").isin(need))
+            sa = tbl.column("segment_id").to_numpy().astype(np.int64)
+            da = tbl.column("doc_id").to_numpy().astype(np.int64)
+            for s in need:
+                self._tomb_by_seg[s] = np.unique(da[sa == s])
+        for s in need:
+            self._tomb_by_seg.setdefault(s, np.zeros(0, np.int64))
+        return {s: self._tomb_by_seg.get(s, np.zeros(0, np.int64))
+                for s in segs}
+
+    def _banned_for(self, seg_tomb: np.ndarray) -> np.ndarray:
+        """Segment tombstones ∪ caller-supplied ad-hoc deleted ids."""
+        if len(self._extra_tomb) == 0:
+            return seg_tomb
+        if len(seg_tomb) == 0:
+            return self._extra_tomb
+        return np.union1d(seg_tomb, self._extra_tomb)
 
     # ------------------------------------------------------------ stats
 
@@ -133,12 +195,18 @@ class LocalSearcher(PlannerMixin):
 
     def _matching_doc_ids(self, q: Query) -> np.ndarray:
         """doc_ids matching a top-level Range/MatchAll (deletes masked,
-        sorted asc)."""
-        tbl = self._docs_scan(q, columns=["doc_id"])
-        ids = np.sort(tbl.column("doc_id").to_numpy().astype(np.int64))
-        if len(self.deleted):
-            ids = ids[~np.isin(ids, self.deleted)]
-        return ids
+        sorted asc). Tombstones load per matched segment only."""
+        tbl = self._docs_scan(q, columns=["doc_id", "segment_id"])
+        ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        if self._has_tombstones and len(ids):
+            segs = np.unique(tbl.column("segment_id").to_numpy()
+                             .astype(np.int64))
+            tomb = self._tomb_for_segments(segs)
+            banned = np.unique(np.concatenate(
+                [self._extra_tomb, *tomb.values()]))
+            if len(banned):
+                ids = ids[~np.isin(ids, banned)]
+        return np.sort(ids)
 
     def _aux_by_segment(self, aux_specs) -> dict[int, dict[int, np.ndarray]]:
         """Materialize each Range/MatchAll clause's doc set, split per
@@ -156,9 +224,11 @@ class LocalSearcher(PlannerMixin):
     # ----------------------------------------------------------- search
 
     def _segment_groups(self, spec: dict):
-        """Yield (postings, aux_sets) per segment for a planned spec —
-        the one place postings rows are fetched and grouped (shared by
-        search / search_with_total / count)."""
+        """Yield (postings, aux_sets, banned) per segment for a planned
+        spec — the one place postings rows are fetched and grouped
+        (shared by search / search_with_total / count). `banned` is the
+        SEGMENT's tombstones (+ ad-hoc ids), fetched in one pushed scan
+        for exactly the touched segments."""
         rows = self._postings_rows(spec["all_terms"],
                                    spec["need_positions"])
         by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
@@ -167,10 +237,14 @@ class LocalSearcher(PlannerMixin):
                 .setdefault((r["field"], r["term"]), []).append(r)
         aux_by_seg = (self._aux_by_segment(spec["aux_specs"])
                       if spec.get("aux_specs") else {})
-        for seg in sorted(set(by_seg) | set(aux_by_seg)):
+        segs = sorted(set(by_seg) | set(aux_by_seg))
+        tomb = (self._tomb_for_segments(segs) if self._has_tombstones
+                else {})
+        for seg in segs:
             postings = {key: wand._SegmentPostings(rs)
                         for key, rs in by_seg.get(seg, {}).items()}
-            yield postings, aux_by_seg.get(seg, {})
+            banned = self._banned_for(tomb.get(seg, np.zeros(0, np.int64)))
+            yield postings, aux_by_seg.get(seg, {}), banned
 
     def _run_segments(self, spec: dict, k: int, f64: bool, after,
                       stats_list: list | None = None):
@@ -182,10 +256,10 @@ class LocalSearcher(PlannerMixin):
         serving tier comes from running many queries in parallel
         processes, like the reference's one-thread-per-search model."""
         results = []
-        for postings, aux in self._segment_groups(spec):
+        for postings, aux, banned in self._segment_groups(spec):
             st: dict | None = {} if stats_list is not None else None
             results.append(run_segment_spec(spec, postings, aux, k, f64,
-                                            after, self.deleted,
+                                            after, banned,
                                             stats_out=st))
             if stats_list is not None:
                 stats_list.append(st)
@@ -247,22 +321,41 @@ class LocalSearcher(PlannerMixin):
             return self._matching_doc_ids(q)
         spec = self.plan(q, force_tree=True)
         parts = []
-        for postings, aux in self._segment_groups(spec):
+        for postings, aux, banned in self._segment_groups(spec):
             docs, _ = wand.eval_tree(spec["root"], postings,
                                      spec["params"], aux, False)
-            keep = wand._mask_banned(docs, self.deleted)
+            keep = wand._mask_banned(docs, banned)
             parts.append(docs[keep] if keep is not None else docs)
         if not parts:
             return np.zeros(0, np.int64)
         return np.sort(np.concatenate(parts))
+
+    def _pushed_values_scan(self, field: str, lo: float, hi: float,
+                            columns: list[str]):
+        """Doc-values scan with the `[lo, hi)` range predicate PUSHED to
+        the pyarrow parquet scan — row-group statistics prune files and
+        row groups whose min/max don't overlap, exactly the `_docs_scan`
+        pattern Range clauses use (VERDICT r03 ask #2: no more
+        full-column loads for serving-tier histograms). The filter is
+        recorded on `_last_pushed_filter` so tests can assert pushdown
+        actually happened."""
+        flt = (pc.field(field) >= lo) & (pc.field(field) < hi)
+        self._last_pushed_filter = flt
+        return self._docs_ds.to_table(columns=columns, filter=flt)
 
     def histogram(self, field: str, min_value: float, interval: float,
                   num_buckets: int) -> list[tuple[int, int]]:
         """diagon_compute_histogram on the serving tier: fixed-interval
         histogram over a numeric doc-values column of ALL docs (like the
         reference's BKD visitor, tombstoned docs count until a merge
-        purges them). Returns non-empty (bucket, count) ascending."""
-        vals = (self._docs_ds.to_table(columns=[field])
+        purges them). Returns non-empty (bucket, count) ascending. The
+        [min, min + interval*num_buckets) predicate is pushed into the
+        parquet scan; the bucket-range guard below stays as the exact
+        float-boundary arbiter (a value just under the pushed upper bound
+        can still floor into bucket == num_buckets)."""
+        hi = float(min_value) + float(interval) * num_buckets
+        vals = (self._pushed_values_scan(field, float(min_value), hi,
+                                         columns=[field])
                 .column(field).to_numpy().astype(np.float64))
         b = np.floor((vals - min_value) / interval).astype(np.int64)
         b = b[(b >= 0) & (b < num_buckets)]
@@ -274,11 +367,16 @@ class LocalSearcher(PlannerMixin):
                        ) -> list[tuple[float, int]]:
         """diagon_search_with_date_histogram on the serving tier: bucket
         the doc values of docs MATCHING `query` (match set, no scoring);
-        non-empty (bucket_key, count) ascending by key."""
+        non-empty (bucket_key, count) ascending by key. The [min, max)
+        value predicate is pushed into the parquet scan, so only
+        overlapping row groups are read and the match-set `isin` runs
+        over range survivors, not the whole table."""
         ids = self.matching_doc_ids(query)
         if len(ids) == 0:
             return []
-        tbl = self._docs_ds.to_table(columns=["doc_id", field])
+        tbl = self._pushed_values_scan(field, float(min_value),
+                                       float(max_value),
+                                       columns=["doc_id", field])
         dids = tbl.column("doc_id").to_numpy().astype(np.int64)
         vals = tbl.column(field).to_numpy().astype(np.float64)
         m = np.isin(dids, ids) & (vals >= min_value) & (vals < max_value)
@@ -351,18 +449,20 @@ class LocalSearcher(PlannerMixin):
         q = rewrite(query)
         if isinstance(q, MatchNone):
             return 0
-        if isinstance(q, Term) and len(self.deleted) == 0:
+        if isinstance(q, Term) and not self._has_tombstones:
             key = (self._resolve_field(q.field), q.term)
             return self.term_stats([key])[key][0]
         if isinstance(q, MatchAll):
+            # the one genuinely global tombstone consumer (documented in
+            # the `deleted` property)
             return self.max_doc - len(self.deleted)
         if isinstance(q, Range):
             return int(len(self._matching_doc_ids(q)))
         spec = self.plan(q, force_tree=True)
         total = 0
-        for postings, aux in self._segment_groups(spec):
+        for postings, aux, banned in self._segment_groups(spec):
             docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
                                      aux, False)
-            keep = wand._mask_banned(docs, self.deleted)
+            keep = wand._mask_banned(docs, banned)
             total += int(keep.sum()) if keep is not None else int(len(docs))
         return total

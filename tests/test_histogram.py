@@ -116,3 +116,36 @@ def test_local_searcher_histograms_match_spark(hctx):
                    columns=["doc_id", "doc_len"])
     assert [g["doc_id"] for g in got] == [int(x) for x in ids_local[:3]]
     assert all(g["doc_len"] == docs[g["doc_id"]][1] for g in got)
+
+
+def test_local_histogram_pushes_range_predicate(hctx):
+    """VERDICT r03 ask #2: the serving-tier histogram scans must push the
+    [min, max) range predicate into the pyarrow parquet scan (row-group
+    stats pruning) instead of loading the whole doc-values column."""
+    s, _ = hctx
+    from diagon_spark.search.local_reader import LocalSearcher
+    ls = LocalSearcher(s.cat)
+
+    # a NARROW histogram window: the scan must return only in-range rows
+    narrow = ls.histogram("doc_len", 20.0, 5.0, 2)  # [20, 30)
+    flt = str(ls._last_pushed_filter)
+    assert "doc_len" in flt and ">=" in flt and "<" in flt
+    n_rows = ls._pushed_values_scan("doc_len", 20.0, 30.0,
+                                    ["doc_len"]).num_rows
+    assert n_rows == sum(c for _, c in narrow)
+    assert n_rows < ls.max_doc  # strictly fewer rows than the table
+
+    ls._last_pushed_filter = None
+    q = Term("int")
+    ls.date_histogram(q, "doc_len", 10.0, 20.0, 40.0)
+    flt = str(ls._last_pushed_filter)
+    assert "doc_len" in flt and ">=" in flt and "<" in flt
+
+    # results still agree with the Spark path on the narrow window
+    spark_h = [(int(r.bucket), int(r["count"]))
+               for r in s.histogram("doc_len", 20.0, 5.0, 2).collect()]
+    assert narrow == spark_h
+    spark_dh = [(float(r.bucket_key), int(r["count"]))
+                for r in s.date_histogram(q, "doc_len", 10.0, 20.0,
+                                          40.0).collect()]
+    assert ls.date_histogram(q, "doc_len", 10.0, 20.0, 40.0) == spark_dh
