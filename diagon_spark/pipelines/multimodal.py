@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame, functions as F
 BLOB_META_SCHEMA = ("doc_id long, n_bytes long, header_byte int, "
                     "blob_md5 string")
 
+# Real image decode when Pillow is installed (the cluster-image case).
+# Gated import, same pattern as the PyICU tokenizer hook
+# (analysis/tokenizer.py:42-47): the sandbox has no imaging libs, so the
+# deterministic fake path below carries the in-container tests, and
+# decode_image(fake=False) lights up wherever PIL exists.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
 
 def to_blob(df: DataFrame, id_col: str = "doc_id",
             payload_col: str = "text") -> DataFrame:
@@ -53,16 +65,44 @@ def blob_metadata(blobs: DataFrame) -> DataFrame:
 def decode_image(blobs: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image blobs -> (doc_id, width, height, n_channels).
 
-    STUB: no imaging libraries exist in this container. With fake=True a
-    deterministic fake decode derives dimensions from the payload hash —
-    keeping the full Spark plumbing (schema, Arrow batching, partition
-    behavior) real and testable. With fake=False this raises, marking
-    exactly where PIL/turbojpeg plugs in on a real cluster.
+    fake=True (default in this container): a deterministic fake decode
+    derives dimensions from the payload hash — keeping the full Spark
+    plumbing (schema, Arrow batching, partition behavior) real and
+    testable without imaging libraries.
+
+    fake=False: REAL decode through Pillow when installed (gated import
+    above; covered by the optional-dependency lane,
+    tests/test_optional_deps.py); raises with a clear message when no
+    imaging library exists — the exact swap point for PIL/turbojpeg on a
+    real cluster.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image decode requires PIL/libvips — not available here; "
-            "swap `fake=False` on a cluster with imaging libs installed")
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode requires Pillow (or swap in libvips/"
+                "turbojpeg here) — not installed in this environment; "
+                "use fake=True for plumbing tests")
+
+        def dec_real(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            import io
+            for pdf in batches:
+                w, h, c = [], [], []
+                for b in pdf["blob"]:
+                    img = _PILImage.open(io.BytesIO(bytes(b)))
+                    w.append(img.width)
+                    h.append(img.height)
+                    c.append(len(img.getbands()))
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "width": np.asarray(w, np.int64),
+                    "height": np.asarray(h, np.int64),
+                    "n_channels": np.asarray(c, np.int32),
+                })
+
+        return blobs.mapInPandas(
+            dec_real,
+            schema="doc_id long, width long, height long, n_channels int")
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
