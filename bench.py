@@ -44,6 +44,58 @@ def _session(reuse_workers: bool, cores: int | str | None = None):
             .getOrCreate())
 
 
+# ---- query-kernel substrate probe (shared state for fork workers)
+_KERNEL_STATE: dict = {}
+
+
+def _kernel_task(i: int) -> float:
+    from diagon_spark.search.planner import run_segment_spec
+    spec = _KERNEL_STATE["spec"]
+    groups = _KERNEL_STATE["groups"]
+    t = time.time()
+    run_segment_spec(spec, groups[i % len(groups)], {}, 100, False,
+                     None, None)
+    return time.time() - t
+
+
+def _query_kernel_ceiling(scale_cat, q_heavy_terms: int = 10,
+                          passes: int = 2) -> float:
+    """1→4-process scaling efficiency of the BARE scoring kernel (no
+    Spark, no scheduler): per-segment Block-Max OR scoring of the ladder
+    query over the ladder index under multiprocessing. This is the same
+    substrate-decomposition the build gate uses
+    (scripts/substrate_probe.py): on one box, memory-bus contention caps
+    ANY 4-way concurrent run of this kernel below 1.0; the Spark path is
+    judged against THIS ceiling. Must run with no live SparkSession
+    (fork safety)."""
+    import multiprocessing as mp
+
+    from diagon_spark.corpus import VOCAB
+    from diagon_spark.search.local_reader import LocalSearcher
+    from diagon_spark.search.query import Boolean, Term
+
+    ls = LocalSearcher(scale_cat)
+    q = Boolean(should=[Term(w) for w in VOCAB[:q_heavy_terms]])
+    spec = ls.plan(q)
+    groups = [p for p, _aux, _banned in ls._segment_groups(spec)]
+    _KERNEL_STATE["spec"] = spec
+    _KERNEL_STATE["groups"] = groups
+    n_tasks = max(len(groups), 16)
+    walls: dict[int, float] = {}
+    try:
+        for procs in (1, 4):
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.time()
+                with mp.get_context("fork").Pool(procs) as pool:
+                    pool.map(_kernel_task, range(n_tasks), chunksize=1)
+                best = min(best, time.time() - t0)
+            walls[procs] = best
+    finally:
+        _KERNEL_STATE.clear()
+    return round(walls[1] / (4 * walls[4]), 3)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -93,17 +145,28 @@ def main() -> None:
         timings[name] = best
 
     # serving-path latencies: same index, same kernels, no Spark job
-    # (the mmap-IndexSearcher analogue — search/local_reader.py)
+    # (the mmap-IndexSearcher analogue — search/local_reader.py). ms-scale
+    # lines on a box with ±30-40% day-to-day variance need a variance
+    # estimate in the artifact (VERDICT r03 ask #8): p50-of-N with the
+    # sample count and spread recorded per line.
     from diagon_spark.search.local_reader import LocalSearcher
     ls = LocalSearcher(cat)
+    local_n = max(5, REPEAT)
+    local_detail: dict[str, dict] = {}
     for name, q in qset.items():
         ls.search(q, k=100)  # warm
-        best = float("inf")
-        for _ in range(REPEAT):
+        samples = []
+        for _ in range(local_n):
             t = time.time()
             ls.search(q, k=100)
-            best = min(best, time.time() - t)
-        timings[f"local_{name}"] = best
+            samples.append(time.time() - t)
+        samples.sort()
+        p50 = samples[len(samples) // 2]
+        timings[f"local_{name}"] = p50
+        local_detail[f"local_{name}"] = {
+            "p50": round(p50, 4), "n": local_n,
+            "min": round(samples[0], 4), "max": round(samples[-1], 4),
+        }
 
     t = time.time()
     dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, band_size=2).count()
@@ -193,28 +256,43 @@ def main() -> None:
     ladder_build_sec = time.time() - t
     spark.stop()
 
+    # Same-session QUERY-KERNEL ceiling under bare multiprocessing (zero
+    # Spark) — the build gate's substrate-probe pattern applied to the
+    # scoring kernel: per-segment OR-10 scoring at 1 vs 4 processes
+    # measures the box's DRAM-contention ceiling for THIS work, so the
+    # Spark-path efficiency below is judged against what the hardware
+    # allows, not against an unreachable 1.0 (BASELINE.md query-ladder
+    # methodology note).
+    kernel_ceiling = _query_kernel_ceiling(scale_cat, q_heavy_terms=10)
+
     q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
     qps: dict[int, float] = {}
     for cores in (1, 4):
         spark = _session(reuse_workers=True, cores=cores)
         spark.sparkContext.setLogLevel("ERROR")
         s2 = Searcher(spark, scale_cat)
-        s2.search(q_heavy, k=100).collect()  # warm
         n_q = 16
-        best = 0.0
-        for _rep in range(2):  # best-of-2: one bad scheduler/box draw
-            t = time.time()  # must not decide the scaling headline
+
+        def _round() -> float:
+            t = time.time()
             with ThreadPoolExecutor(8) as ex:
                 list(ex.map(lambda _i: s2.search(q_heavy, k=100).collect(),
                             range(n_q)))
-            best = max(best, n_q / (time.time() - t))
-        qps[cores] = best
+            return n_q / (time.time() - t)
+
+        # warm-fair discipline (BASELINE.md round-3 note: the FIRST full
+        # round at a fresh core level is cold — codegen/JIT/page-cache —
+        # and measured 2x slower at 1 core): one full round DISCARDED,
+        # then best-of-2 measured rounds
+        _round()
+        qps[cores] = max(_round() for _rep in range(2))
         spark.stop()
     query_scaling = {
         "corpus_docs": ladder_docs,
         "qps_1core": round(qps[1], 3),
         "qps_4core": round(qps[4], 3),
         "efficiency_1to4": round(qps[4] / (4 * qps[1]), 3),
+        "kernel_ceiling_1to4": kernel_ceiling,
         "ladder_build_sec": round(ladder_build_sec, 1),
     }
     shutil.rmtree(scale_dir, ignore_errors=True)
@@ -232,6 +310,7 @@ def main() -> None:
         "index_bytes_per_doc": round(postings_bytes / max(n_docs, 1), 1),
         "docs_table_bytes_per_doc": round(docs_bytes / max(n_docs, 1), 1),
         "cpus": int(CPUS),
+        "local_detail": local_detail,
         "wand_skew": wand_skew,
         "query_scaling": query_scaling,
     }))
