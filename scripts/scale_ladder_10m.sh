@@ -25,11 +25,14 @@ for n in 100000 1000000 10000000; do
   fi
 done
 
-python scripts/scaling_run.py run 8 "$BASE/in_100000"   "$BASE/idx_100k" | tee "$BASE/r8_100k.json"
-python scripts/scaling_run.py run 8 "$BASE/in_1000000"  "$BASE/idx_1m"   | tee "$BASE/r8_1m.json"
-python scripts/scaling_run.py run 8 "$BASE/in_10000000" "$BASE/idx_10m"  | tee "$BASE/r8_10m.json"
+# docs/segment stays bounded across sizes (the 100-TB layout knob):
+# 100K/64 ≈ 1.6k, 1M/64 ≈ 15.6k, 10M/512 ≈ 19.5k docs per segment —
+# encode-group cost is superlinear in group size (see scaling_run.py)
+python scripts/scaling_run.py run 8 "$BASE/in_100000"   "$BASE/idx_100k" 64  | tee "$BASE/r8_100k.json"
+python scripts/scaling_run.py run 8 "$BASE/in_1000000"  "$BASE/idx_1m"   64  | tee "$BASE/r8_1m.json"
+python scripts/scaling_run.py run 8 "$BASE/in_10000000" "$BASE/idx_10m"  512 | tee "$BASE/r8_10m.json"
 rm -rf "$BASE/idx_100k" "$BASE/idx_1m"   # keep disk bounded for the 2-core run
-python scripts/scaling_run.py run 2 "$BASE/in_10000000" "$BASE/idx_10m2" | tee "$BASE/r2_10m.json"
+python scripts/scaling_run.py run 2 "$BASE/in_10000000" "$BASE/idx_10m2" 512 | tee "$BASE/r2_10m.json"
 
 python scripts/scaling_run.py report "$BASE/r2_10m.json" "$BASE/r8_10m.json" \
   | tee "$BASE/pair_2to8_10m.json"

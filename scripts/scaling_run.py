@@ -47,7 +47,8 @@ def prepare(n_docs: int, input_dir: str) -> None:
     spark.stop()
 
 
-def run(cpus: int, input_dir: str, out_dir: str) -> None:
+def run(cpus: int, input_dir: str, out_dir: str,
+        num_segments: int = 64) -> None:
     from pyspark.sql import functions as F
     from diagon_spark import build_index, Searcher
     from diagon_spark.search.query import Boolean, Phrase, Term
@@ -59,9 +60,14 @@ def run(cpus: int, input_dir: str, out_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # IDENTICAL work at every parallelism level: fixed segment count
-    # (64 = 2x the largest level), only executor slots vary
+    # (default 64 = 2x the largest level), only executor slots vary.
+    # Across CORPUS SIZES the segment count must scale so docs/segment
+    # stays bounded (~15-40k): encode-group cost grows superlinearly in
+    # group size (measured: 15.6k-doc groups ≈ 2,200 docs/s/task vs
+    # 156k-doc groups ≈ 590 docs/s/task on this box), exactly the knob a
+    # real deployment turns with data volume.
     t0 = time.time()
-    cat = build_index(spark, df, out_dir, num_segments=64,
+    cat = build_index(spark, df, out_dir, num_segments=num_segments,
                       num_buckets=16, positions=True)
     build_sec = time.time() - t0
 
@@ -113,7 +119,8 @@ if __name__ == "__main__":
     if cmd == "prepare":
         prepare(int(sys.argv[2]), sys.argv[3])
     elif cmd == "run":
-        run(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        run(int(sys.argv[2]), sys.argv[3], sys.argv[4],
+            int(sys.argv[5]) if len(sys.argv) > 5 else 64)
     elif cmd == "report":
         report(sys.argv[2], sys.argv[3])
     else:
