@@ -77,7 +77,7 @@ def _query_kernel_ceiling(scale_cat, q_heavy_terms: int = 10,
     ls = LocalSearcher(scale_cat)
     q = Boolean(should=[Term(w) for w in VOCAB[:q_heavy_terms]])
     spec = ls.plan(q)
-    groups = [p for p, _aux, _banned in ls._segment_groups(spec)]
+    groups = [p for _s, p, _aux, _banned in ls._segment_groups(spec)]
     _KERNEL_STATE["spec"] = spec
     _KERNEL_STATE["groups"] = groups
     n_tasks = max(len(groups), 16)

@@ -224,11 +224,12 @@ class LocalSearcher(PlannerMixin):
     # ----------------------------------------------------------- search
 
     def _segment_groups(self, spec: dict):
-        """Yield (postings, aux_sets, banned) per segment for a planned
-        spec — the one place postings rows are fetched and grouped
-        (shared by search / search_with_total / count). `banned` is the
-        SEGMENT's tombstones (+ ad-hoc ids), fetched in one pushed scan
-        for exactly the touched segments."""
+        """Yield (segment_id, postings, aux_sets, banned) per segment for
+        a planned spec — the one place postings rows are fetched and
+        grouped (shared by search / search_with_total / count /
+        date_histogram). `banned` is the SEGMENT's tombstones (+ ad-hoc
+        ids), fetched in one pushed scan for exactly the touched
+        segments."""
         rows = self._postings_rows(spec["all_terms"],
                                    spec["need_positions"])
         by_seg: dict[int, dict[tuple[str, str], list[dict]]] = {}
@@ -244,7 +245,7 @@ class LocalSearcher(PlannerMixin):
             postings = {key: wand._SegmentPostings(rs)
                         for key, rs in by_seg.get(seg, {}).items()}
             banned = self._banned_for(tomb.get(seg, np.zeros(0, np.int64)))
-            yield postings, aux_by_seg.get(seg, {}), banned
+            yield seg, postings, aux_by_seg.get(seg, {}), banned
 
     def _run_segments(self, spec: dict, k: int, f64: bool, after,
                       stats_list: list | None = None):
@@ -256,7 +257,7 @@ class LocalSearcher(PlannerMixin):
         serving tier comes from running many queries in parallel
         processes, like the reference's one-thread-per-search model."""
         results = []
-        for postings, aux, banned in self._segment_groups(spec):
+        for _seg, postings, aux, banned in self._segment_groups(spec):
             st: dict | None = {} if stats_list is not None else None
             results.append(run_segment_spec(spec, postings, aux, k, f64,
                                             after, banned,
@@ -321,7 +322,7 @@ class LocalSearcher(PlannerMixin):
             return self._matching_doc_ids(q)
         spec = self.plan(q, force_tree=True)
         parts = []
-        for postings, aux, banned in self._segment_groups(spec):
+        for _seg, postings, aux, banned in self._segment_groups(spec):
             docs, _ = wand.eval_tree(spec["root"], postings,
                                      spec["params"], aux, False)
             keep = wand._mask_banned(docs, banned)
@@ -353,8 +354,17 @@ class LocalSearcher(PlannerMixin):
         parquet scan; the bucket-range guard below stays as the exact
         float-boundary arbiter (a value just under the pushed upper bound
         can still floor into bucket == num_buckets)."""
-        hi = float(min_value) + float(interval) * num_buckets
-        vals = (self._pushed_values_scan(field, float(min_value), hi,
+        # pushed upper bound widened by ONE interval: floor((v-min)/i) is
+        # not monotone with v < min + i*nb at float boundaries — a value
+        # numerically >= the product can still floor into bucket nb-1
+        # (ADVICE r4: e.g. i=0.94178…, nb=26 dropped a bucket-25 value).
+        # The widened pre-filter can only ADMIT extra rows; the exact
+        # floor/bucket-range guard below remains the arbiter, so results
+        # stay bit-identical to the Spark path while row-group pruning is
+        # preserved.
+        hi = float(min_value) + float(interval) * (num_buckets + 1)
+        lo = float(min_value) - float(interval)
+        vals = (self._pushed_values_scan(field, lo, hi,
                                          columns=[field])
                 .column(field).to_numpy().astype(np.float64))
         b = np.floor((vals - min_value) / interval).astype(np.int64)
@@ -369,21 +379,59 @@ class LocalSearcher(PlannerMixin):
         the doc values of docs MATCHING `query` (match set, no scoring);
         non-empty (bucket_key, count) ascending by key. The [min, max)
         value predicate is pushed into the parquet scan, so only
-        overlapping row groups are read and the match-set `isin` runs
-        over range survivors, not the whole table."""
-        ids = self.matching_doc_ids(query)
-        if len(ids) == 0:
+        overlapping row groups are read, and the match-set intersection
+        runs PER SEGMENT (the `_tomb_for_segments` pattern) — no global
+        match-set materialization on multi-segment indexes."""
+        q = rewrite(query)
+        if isinstance(q, MatchNone):
             return []
         tbl = self._pushed_values_scan(field, float(min_value),
                                        float(max_value),
-                                       columns=["doc_id", field])
+                                       columns=["doc_id", "segment_id",
+                                                field])
         dids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        segs = tbl.column("segment_id").to_numpy().astype(np.int64)
         vals = tbl.column(field).to_numpy().astype(np.float64)
-        m = np.isin(dids, ids) & (vals >= min_value) & (vals < max_value)
-        keys = (np.floor((vals[m] - min_value) / interval) * interval
+        in_rng = (vals >= min_value) & (vals < max_value)
+        dids, segs, vals = dids[in_rng], segs[in_rng], vals[in_rng]
+        if len(dids) == 0:
+            return []
+        keep = np.zeros(len(dids), dtype=bool)
+        for seg, ids_seg in self._match_ids_by_segment(q):
+            m = segs == seg
+            if m.any() and len(ids_seg):
+                keep[m] = np.isin(dids[m], ids_seg)
+        keys = (np.floor((vals[keep] - min_value) / interval) * interval
                 + min_value)
         uniq, counts = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, counts)]
+
+    def _match_ids_by_segment(self, q: Query):
+        """Yield (segment_id, matching doc_ids) — the per-segment form of
+        matching_doc_ids: each segment's match set is produced, consumed,
+        and dropped independently, so analytics over a many-segment index
+        never hold the full match set in one array."""
+        if isinstance(q, (MatchAll, Range)):
+            tbl = self._docs_scan(q, columns=["doc_id", "segment_id"])
+            sa = tbl.column("segment_id").to_numpy().astype(np.int64)
+            da = tbl.column("doc_id").to_numpy().astype(np.int64)
+            segs_u = np.unique(sa)
+            tomb = (self._tomb_for_segments(segs_u)
+                    if self._has_tombstones else {})
+            for s in segs_u:
+                ids = da[sa == s]
+                banned = self._banned_for(
+                    tomb.get(int(s), np.zeros(0, np.int64)))
+                if len(banned):
+                    ids = ids[~np.isin(ids, banned)]
+                yield int(s), np.sort(ids)
+            return
+        spec = self.plan(q, force_tree=True)
+        for seg, postings, aux, banned in self._segment_groups(spec):
+            docs, _ = wand.eval_tree(spec["root"], postings,
+                                     spec["params"], aux, False)
+            m = wand._mask_banned(docs, banned)
+            yield int(seg), (docs[m] if m is not None else docs)
 
     def fetch(self, doc_ids: list[int],
               columns: list[str] | None = None) -> list[dict]:
@@ -460,7 +508,7 @@ class LocalSearcher(PlannerMixin):
             return int(len(self._matching_doc_ids(q)))
         spec = self.plan(q, force_tree=True)
         total = 0
-        for postings, aux, banned in self._segment_groups(spec):
+        for _seg, postings, aux, banned in self._segment_groups(spec):
             docs, _ = wand.eval_tree(spec["root"], postings, spec["params"],
                                      aux, False)
             keep = wand._mask_banned(docs, banned)

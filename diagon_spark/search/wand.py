@@ -646,7 +646,11 @@ def phrase(postings: dict, phrase_params: TermScorerParams,
     if keep is not None:
         docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
     if stats_out is not None:
-        stats_out.update(total=int(len(docs)), exact=True)
+        # `exact` is the TotalHits relation (the COUNT is exact — every
+        # matching doc was enumerated, slop or not); `slop` records the
+        # evaluation mode so consumers can tell near-match results from
+        # exact-phrase ones (ADVICE r4) without conflating the two.
+        stats_out.update(total=int(len(docs)), exact=True, slop=int(slop))
         _fill_block_stats(stats_out, postings, terms)
     if len(docs) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)

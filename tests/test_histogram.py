@@ -149,3 +149,42 @@ def test_local_histogram_pushes_range_predicate(hctx):
                 for r in s.date_histogram(q, "doc_len", 10.0, 20.0,
                                           40.0).collect()]
     assert ls.date_histogram(q, "doc_len", 10.0, 20.0, 40.0) == spark_dh
+
+
+def test_local_histogram_float_boundary_matches_spark(spark, tmp_path):
+    """ADVICE r4: the pushed [min, min+interval*nb) pre-filter dropped
+    values that numerically exceed the product yet still floor into
+    bucket nb-1 (floor((v-min)/interval) and min+interval*nb round
+    differently). The widened pushdown must keep such values and bucket
+    them identically to the Spark path. Uses the advisory's exact
+    instance."""
+    import math
+
+    import pandas as pd
+
+    # parameters found by numeric search: an INTEGER doc_len v_edge that
+    # is numerically >= min + interval*nb (so the old pushed pre-filter
+    # dropped it) yet floors into bucket nb-1 (so the Spark path, which
+    # filters on the computed bucket, counts it)
+    mn, interval, nb = 1.8990086818143226, 2.9109271148761033, 55
+    v_edge = 162
+    assert v_edge >= mn + interval * nb
+    assert math.floor((v_edge - mn) / interval) == nb - 1
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["tok " * 5, "tok " * v_edge, "tok " * 40],  # doc_len
+    })
+    out = str(tmp_path / "fbidx")
+    cat = build_index(spark, spark.createDataFrame(pdf), out,
+                      num_segments=1, num_buckets=2, id_col="doc_id",
+                      content_col="text", positions=False)
+    s = Searcher(spark, cat)
+    from diagon_spark.search.local_reader import LocalSearcher
+    ls = LocalSearcher(cat)
+
+    spark_h = [(int(r.bucket), int(r["count"]))
+               for r in s.histogram("doc_len", mn, interval, nb).collect()]
+    assert ls.histogram("doc_len", mn, interval, nb) == spark_h
+    # and the edge value IS counted (bucket nb-1) on both paths
+    assert (nb - 1, 1) in spark_h

@@ -1,12 +1,14 @@
 """Single-writer write.lock enforcement (index/lock.py) — the
 IndexWriter lock analogue (index/IndexWriter.cpp open path): a second
-live writer fails fast with LockObtainFailedError and never touches the
-first writer's commit chain; a crashed writer's stale lock is broken
-automatically; composed mutators re-enter their own lock."""
+live writer — another process or another thread — fails fast with
+LockObtainFailedError and never touches the first writer's commit chain;
+a crashed writer's kernel lock releases automatically (no stale-pid
+breaking step, hence none of its races); composed mutators re-enter
+their own lock on the same thread."""
 
-import json
-import os
 import subprocess
+import sys
+import threading
 import time
 from pathlib import Path
 
@@ -18,11 +20,22 @@ from diagon_spark.index.lock import (LOCK_NAME, LockObtainFailedError,
                                      write_lock)
 from diagon_spark.search.query import Term
 
+_HOLDER_SRC = """
+import fcntl, os, sys, time
+path = sys.argv[1]
+fd = os.open(path, os.O_CREAT | os.O_RDWR)
+fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+print("locked", flush=True)
+time.sleep(60)
+"""
 
-def _foreign_lock(root: str, pid: int) -> Path:
-    p = Path(root, LOCK_NAME)
-    p.write_text(json.dumps({"pid": pid, "host": __import__("socket")
-                             .gethostname(), "ts": time.time()}))
+
+def _foreign_holder(root: str) -> subprocess.Popen:
+    """A live foreign PROCESS genuinely holding the kernel lock."""
+    p = subprocess.Popen(
+        [sys.executable, "-c", _HOLDER_SRC, str(Path(root, LOCK_NAME))],
+        stdout=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "locked"
     return p
 
 
@@ -39,10 +52,8 @@ def test_second_writer_fails_fast_and_first_commit_survives(
         spark, built, tmp_path):
     cat, df, root = built
     gen_before = cat.generation
-    # a LIVE foreign process holds the lock (subprocess sleeping)
-    holder = subprocess.Popen(["sleep", "60"])
+    holder = _foreign_holder(root)
     try:
-        _foreign_lock(root, holder.pid)
         with pytest.raises(LockObtainFailedError):
             build_index(spark, df, root, num_segments=1, num_buckets=4,
                         positions=False, append=True, segment_base=2)
@@ -64,12 +75,14 @@ def test_second_writer_fails_fast_and_first_commit_survives(
                .collect()) > 0
 
 
-def test_stale_lock_broken_automatically(spark, built):
+def test_crashed_holder_releases_automatically(spark, built):
     cat, df, root = built
-    # a DEAD pid's lock (process exited) must not block the next writer
-    dead = subprocess.Popen(["true"])
-    dead.wait()
-    _foreign_lock(root, dead.pid)
+    # a KILLED holder's flock is released by the kernel; its leftover
+    # lock file must not block the next writer (the crashed-JVM story)
+    holder = _foreign_holder(root)
+    holder.kill()
+    holder.wait()
+    assert Path(root, LOCK_NAME).exists()  # file left behind by the crash
     cat2 = build_index(spark, df.limit(10), root, num_segments=1,
                        num_buckets=4, positions=False, append=True,
                        segment_base=2)
@@ -77,13 +90,48 @@ def test_stale_lock_broken_automatically(spark, built):
     assert not Path(root, LOCK_NAME).exists()  # released after the build
 
 
-def test_reentrant_same_process(tmp_path):
+def test_reentrant_same_thread(tmp_path):
     root = str(tmp_path / "idx2")
     with write_lock(root):
         with write_lock(root):  # update_documents-style nesting
             assert Path(root, LOCK_NAME).exists()
         assert Path(root, LOCK_NAME).exists()  # inner exit keeps the hold
     assert not Path(root, LOCK_NAME).exists()
+
+
+def test_second_thread_fails_fast(tmp_path):
+    # writer-scoped, not process-scoped: a SIBLING THREAD gets no
+    # re-entrant pass — it must fail exactly like a second process
+    # (ADVICE r4: ThreadPoolExecutor writers previously interleaved)
+    root = str(tmp_path / "idx_thread")
+    errs: list[Exception] = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    def first():
+        with write_lock(root):
+            entered.set()
+            release.wait(10)
+
+    def second():
+        try:
+            with write_lock(root):
+                pass
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=first)
+    t1.start()
+    assert entered.wait(10)
+    t2 = threading.Thread(target=second)
+    t2.start()
+    t2.join(10)
+    release.set()
+    t1.join(10)
+    assert len(errs) == 1 and isinstance(errs[0], LockObtainFailedError)
+    # and the root is free again afterwards
+    with write_lock(root):
+        pass
 
 
 def test_lock_released_on_writer_error(spark, tmp_path):
@@ -100,12 +148,38 @@ def test_lock_released_on_writer_error(spark, tmp_path):
     assert cat.generation is not None
 
 
-def test_own_pid_leftover_is_stale(tmp_path):
-    # same-process leftover file with zero in-process holds (e.g. a
-    # hard-killed previous context) counts as stale and is re-acquired
-    root = str(tmp_path / "idx4")
-    os.makedirs(root, exist_ok=True)
-    _foreign_lock(root, os.getpid())
-    with write_lock(root):
-        assert Path(root, LOCK_NAME).exists()
-    assert not Path(root, LOCK_NAME).exists()
+def test_unlink_vs_flock_race_is_closed(tmp_path):
+    # a releasing writer unlinks before closing; an acquirer that opened
+    # the doomed inode must detect it (inode check) and retry onto the
+    # fresh file rather than "holding" a lock on an unlinked inode.
+    # Sequential reacquisition exercises the retry loop's liveness check.
+    root = str(tmp_path / "idx5")
+    for _ in range(5):
+        with write_lock(root):
+            assert Path(root, LOCK_NAME).exists()
+        assert not Path(root, LOCK_NAME).exists()
+    # hammer it from many threads: exactly one holder at a time
+    active = []
+    lockstats = {"max": 0}
+    mu = threading.Lock()
+
+    def worker():
+        for _ in range(10):
+            try:
+                with write_lock(root):
+                    with mu:
+                        active.append(1)
+                        lockstats["max"] = max(lockstats["max"],
+                                               len(active))
+                    time.sleep(0.001)
+                    with mu:
+                        active.pop()
+            except LockObtainFailedError:
+                time.sleep(0.001)
+
+    ts = [threading.Thread(target=worker) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert lockstats["max"] == 1
