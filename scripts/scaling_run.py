@@ -61,11 +61,17 @@ def run(cpus: int, input_dir: str, out_dir: str,
 
     # IDENTICAL work at every parallelism level: fixed segment count
     # (default 64 = 2x the largest level), only executor slots vary.
-    # Across CORPUS SIZES the segment count must scale so docs/segment
-    # stays bounded (~15-40k): encode-group cost grows superlinearly in
-    # group size (measured: 15.6k-doc groups ≈ 2,200 docs/s/task vs
-    # 156k-doc groups ≈ 590 docs/s/task on this box), exactly the knob a
-    # real deployment turns with data volume.
+    # Round-4 measured encode-group cost SUPERLINEAR in group size
+    # (15.6k-doc groups ≈ 2,200 docs/s/task vs 156k ≈ 590) which forced
+    # num_segments to scale with corpus size. Round 5 root-caused it
+    # (cache-capacity: random-access phases go DRAM-latency-bound under
+    # concurrency once buffers outgrow the LLC share) and fixed the
+    # kernel: zero-object flat tokenization + cache-sized internal
+    # slices for tokenize/factorize/codec (tokenizer.
+    # tokenize_factorize_sliced, codec.encode_segment_batch slice_groups)
+    # — see scripts/encode_profile.py for the standalone and in-Spark
+    # group-size probes. Segment count is now a layout choice, not a
+    # survival knob.
     t0 = time.time()
     cat = build_index(spark, df, out_dir, num_segments=num_segments,
                       num_buckets=16, positions=True)

@@ -92,3 +92,28 @@ def test_batch_no_positions():
                                    g_norms[lo:hi].astype(np.uint8))
         assert bytes(r["doc_blocks"]) == bytes(ref["doc_blocks"])
         assert r["pos_blocks"] is None
+
+
+@pytest.mark.parametrize("slice_groups", [7, 64, 10**9])
+def test_sliced_batch_equals_unsliced(slice_groups):
+    """The cache-sized term-range slicer must be byte-identical to the
+    one-pass batch (slices cut only at term boundaries)."""
+    rng = np.random.RandomState(1234)
+    args = _random_segment(rng, n_terms=37, max_docs_per_term=300,
+                           max_tf=5)
+    g_docs, tfs, g_norms, t_starts, t_ends, pos_deltas_all, td_starts = args
+    ref = encode_segment_batch(g_docs, tfs, g_norms, t_starts, t_ends,
+                               128, pos_deltas_all, td_starts,
+                               slice_groups=10**9)
+    got = encode_segment_batch(g_docs, tfs, g_norms, t_starts, t_ends,
+                               128, pos_deltas_all, td_starts,
+                               slice_groups=slice_groups)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert set(a) == set(b)
+        for k in a:
+            av, bv = a[k], b[k]
+            if isinstance(av, np.ndarray):
+                assert np.array_equal(av, bv), k
+            else:
+                assert av == bv, k
