@@ -302,10 +302,17 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import os as _os
         import time as _time
+
+        from diagon_spark._runtime import disable_thp_once, thp_disabled
+        disable_thp_once()
         _prof_path = _os.environ.get("DIAGON_ENCODE_PROF")
-        _ph: dict = {"enter": _time.time(), "n_docs": len(pdf)}
+        _ph: dict = {"enter": _time.time(), "n_docs": len(pdf),
+                     "thp_off": thp_disabled()}
         segment_id = int(key[0])
         fld = str(key[1])
+        # sub-batch chunk namespace: sub order == doc-range order, so
+        # chunk values stay docID-ordered across sub-batches
+        chunk_base = (int(key[2]) << 20) if len(key) > 2 else 0
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         if bytes_tokens:
@@ -461,7 +468,7 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
                 "term": term_strs[tid],
                 "bucket": term_buckets[tid],
                 "segment_id": segment_id,
-                "chunk": rec["chunk"],
+                "chunk": chunk_base + int(rec["chunk"]),
                 "df": int(rec["df"]),
                 "ttf": int(rec["ttf"]),
                 "doc_blocks": rec["doc_blocks"],
@@ -612,7 +619,8 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
                       segment_base: int = 0,
                       store_content: bool = True,
                       commit_extra: dict | None = None,
-                      bloom_ndv: int = DEFAULT_BLOOM_NDV) -> IndexCatalog:
+                      bloom_ndv: int = DEFAULT_BLOOM_NDV,
+                      encode_group_docs: int = 20_000) -> IndexCatalog:
     """Build (or resume) the full index. Returns a committed IndexCatalog.
 
     `fields` lists the document columns to index, each as its own field
@@ -732,22 +740,57 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
                                 F.col("fc.field").alias("field"),
                                 F.col("fc.__content").alias("__content")))
         part = tok_docs.filter(F.col("segment_id").isin(todo))
-        # ONE compact shuffle (one content string per doc-field) into
-        # (segment, field) groups; tokenize + explode + FreqProx
-        # aggregation happen in numpy inside the UDF (DWPT flush analogue).
-        # Explicit partition count = one task per (segment, field): AQE's
+        # ENCODE GROUP SIZE is decoupled from segment size: each
+        # (segment, field) splits into doc-id-RANGE sub-batches of
+        # ~encode_group_docs docs (`sub` column below; the postings
+        # format already supports many chunks per term — sub-batch b
+        # emits chunks at base b<<20, and sub order == doc order, so
+        # rows sorted by chunk stay docID-ordered exactly as
+        # _SegmentPostings requires). Measured: the encode kernel's
+        # s/doc is flat at 15-20k-doc groups and inflates 3-10x at 156k
+        # under concurrent workers (cache + fresh-page-fault working
+        # set, scripts/encode_profile.py) — sub-batching makes a
+        # big-segment layout build like a small-segment one while
+        # keeping the segment COUNT a pure layout choice. The doc-id
+        # range split uses per-segment (min, max) collected from the
+        # narrow docs scan: dense ids (this engine's own assignment)
+        # give even sub-batches; sparse user ids degrade to skewed ones,
+        # never to more than n_subs groups.
+        seg_rows = (docs_idx.filter(F.col("segment_id").isin(todo))
+                    .groupBy("segment_id")
+                    .agg(F.min("doc_id").alias("lo"),
+                         F.max("doc_id").alias("hi"),
+                         F.count("*").alias("n")).collect())
+        seg_lo = {int(r.segment_id): int(r.lo) for r in seg_rows}
+        seg_span = {}
+        n_groups = 0
+        for r in seg_rows:
+            # cap: sub<<20 must fit the int32 chunk column (sub <= 2047)
+            n_subs = max(1, min(2000, int(r.n) // max(encode_group_docs, 1)))
+            seg_span[int(r.segment_id)] = max(
+                1, -(-(int(r.hi) - int(r.lo) + 1) // n_subs))
+            n_groups += n_subs * len(field_names)
+        lo_map = F.create_map(*[F.lit(x) for kv in seg_lo.items()
+                                for x in kv])
+        span_map = F.create_map(*[F.lit(x) for kv in seg_span.items()
+                                  for x in kv])
+        part = part.withColumn(
+            "sub",
+            F.floor((F.col("doc_id") - lo_map[F.col("segment_id")])
+                    / span_map[F.col("segment_id")]).cast("int"))
+        # Explicit partition count = one task per encode group: AQE's
         # byte-based coalescing would otherwise merge these CPU-heavy
-        # groups. RANGE partitioning, not hash: with n_partitions ==
+        # groups. RANGE partitioning, not hash: with n_partitions ~=
         # n_keys, hash-partitioning collides ~1/e of the keys (measured:
         # an 8-segment build ran on 5 effective workers with double-group
-        # straggler tasks); range boundaries give each (segment, field)
-        # its own task, and RangePartitioning on the group columns
-        # satisfies the applyInPandas clustering so no second shuffle is
-        # inserted (plan-checked).
-        n_groups = len(todo) * len(field_names)
-        postings = (part.repartitionByRange(n_groups, F.col("segment_id"),
-                                            F.col("field"))
-                    .groupBy("segment_id", "field").applyInPandas(
+        # straggler tasks); range boundaries give each group its own
+        # task, and RangePartitioning on the group columns satisfies the
+        # applyInPandas clustering so no second shuffle is inserted
+        # (plan-checked).
+        postings = (part.repartitionByRange(max(n_groups, 1),
+                                            F.col("segment_id"),
+                                            F.col("field"), F.col("sub"))
+                    .groupBy("segment_id", "field", "sub").applyInPandas(
                         _encode_segment_fn(num_buckets, positions, analyzer),
                         schema=POSTINGS_SCHEMA))
         # compact by bucket before writing: without this every segment

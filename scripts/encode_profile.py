@@ -74,22 +74,31 @@ def spark_group_probe(n_docs: int = 1_250_000, cpus: int = 8,
         .parquet(inp)
     df = spark.read.parquet(inp)
     df.count()
-    results = {}
-    for segs in (segments_small_groups, segments_big_groups):
+    # ALTERNATING A/B pairs in one session: this box's memory-state
+    # drift between runs (2-3x on memory-heavy kernels) swamps any
+    # single small-vs-big comparison; interleaving gives two ratios
+    # whose agreement (or spread) is part of the evidence.
+    results: dict[int, list[float]] = {}
+    order = [segments_small_groups, segments_big_groups] * 2
+    for segs in order:
         out = tempfile.mkdtemp(prefix=f"enc_probe_{segs}_")
         t0 = time.time()
         build_index(spark, df, out, num_segments=segs, num_buckets=16,
                     positions=True)
         wall = time.time() - t0
-        results[segs] = wall
+        results.setdefault(segs, []).append(wall)
         import shutil
         shutil.rmtree(out, ignore_errors=True)
         print(f"  segments={segs:>4} (≈{n_docs // segs:>7} docs/group)  "
-              f"build={wall:7.1f}s  docs/s={n_docs / wall:8.0f}")
+              f"build={wall:7.1f}s  docs/s={n_docs / wall:8.0f}",
+              flush=True)
     import shutil
     shutil.rmtree(inp, ignore_errors=True)
-    small, big = results[segments_small_groups], results[segments_big_groups]
-    print(f"  s/doc ratio big-group vs small-group: {big / small:.2f}x "
+    smalls = results[segments_small_groups]
+    bigs = results[segments_big_groups]
+    for i, (s, b) in enumerate(zip(smalls, bigs)):
+        print(f"  pair {i}: s/doc ratio big vs small = {b / s:.2f}x")
+    print(f"  best-pair ratio: {min(bigs) / min(smalls):.2f}x "
           f"(gate: <=1.5x)")
     spark.stop()
 
