@@ -266,14 +266,15 @@ def main() -> None:
     kernel_ceiling = _query_kernel_ceiling(scale_cat, q_heavy_terms=10)
 
     q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
-    qps: dict[int, float] = {}
-    qps_rounds: dict[int, list[float]] = {}
-    n_rounds = int(os.environ.get("SPARK_GRAFT_LADDER_ROUNDS", "3"))
-    for cores in (1, 4):
+
+    def _cell(cores: int, n_q: int, n_measured: int) -> list[float]:
+        """One measurement cell: fresh session at `cores`, one DISCARDED
+        warm round (BASELINE.md round-3 note: the first round at a fresh
+        core level is cold — codegen/JIT/page-cache — and measured 2x
+        slower at 1 core), then `n_measured` timed rounds."""
         spark = _session(reuse_workers=True, cores=cores)
         spark.sparkContext.setLogLevel("ERROR")
         s2 = Searcher(spark, scale_cat)
-        n_q = 16
 
         def _round() -> float:
             t = time.time()
@@ -282,26 +283,40 @@ def main() -> None:
                             range(n_q)))
             return n_q / (time.time() - t)
 
-        # warm-fair discipline (BASELINE.md round-3 note: the FIRST full
-        # round at a fresh core level is cold — codegen/JIT/page-cache —
-        # and measured 2x slower at 1 core): one full round DISCARDED.
-        # Round-4 lesson: two measured rounds were NOT enough — builder-
-        # and driver-run efficiencies diverged by 0.24 on identical code
-        # (BENCH_r04 0.656 vs builder 0.897). Three measured rounds with
-        # the per-round spread RECORDED in the artifact, best-of as the
-        # capability number, so one run carries its own error bars.
         _round()
-        rounds = [_round() for _rep in range(n_rounds)]
-        qps_rounds[cores] = [round(r, 3) for r in rounds]
-        qps[cores] = max(rounds)
+        rounds = [round(_round(), 3) for _rep in range(n_measured)]
         spark.stop()
-    eff = qps[4] / (4 * qps[1])
+        return rounds
+
+    # INTERLEAVED paired cells (round-5 lesson): this box's throughput
+    # drifts 30-50% between measurement windows minutes apart (memory
+    # compaction / page-cache state — BASELINE.md round-5 THP note), so
+    # the old sequential structure (all 1-core rounds, THEN all 4-core
+    # rounds ~10 min later) measured the DRIFT as much as the scaling:
+    # identical code recorded 0.656 (driver) and 0.897 (builder) in
+    # round 4, and a physically impossible 1.11 in a round-5 preview.
+    # Alternating 1-core/4-core cells puts each pair's two measurements
+    # minutes apart, each pair yields its own efficiency ratio, and the
+    # MEDIAN of the pair ratios is the headline — one drift burst can
+    # corrupt one pair, not the median.
+    n_pairs = int(os.environ.get("SPARK_GRAFT_LADDER_PAIRS", "3"))
+    qps_rounds: dict[int, list[list[float]]] = {1: [], 4: []}
+    pair_effs: list[float] = []
+    for _p in range(n_pairs):
+        r1 = _cell(1, n_q=8, n_measured=2)
+        r4 = _cell(4, n_q=16, n_measured=2)
+        qps_rounds[1].append(r1)
+        qps_rounds[4].append(r4)
+        pair_effs.append(round(max(r4) / (4 * max(r1)), 3))
+    eff = float(sorted(pair_effs)[len(pair_effs) // 2])
+    qps = {c: max(max(cell) for cell in qps_rounds[c]) for c in (1, 4)}
     query_scaling = {
         "corpus_docs": ladder_docs,
         "qps_1core": round(qps[1], 3),
         "qps_4core": round(qps[4], 3),
         "qps_rounds_1core": qps_rounds[1],
         "qps_rounds_4core": qps_rounds[4],
+        "pair_effs": pair_effs,
         "efficiency_1to4": round(eff, 3),
         "kernel_ceiling_1to4": kernel_ceiling,
         # the hardware-relative headline: ceiling is measured the same
