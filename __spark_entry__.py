@@ -166,6 +166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = Phrase(tuple(PHRASE3), slop=SLOPPY3_SLOP)
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
+    def unordered_phrase_bm25(spark, sf):
+        # ordered=False (Lucene-transposition window semantics,
+        # query.Phrase): an assignment matches iff its SHIFTED positions
+        # p_i - i span <= slop in any order, so "b a" matches ("a","b")~2;
+        # tf = offset-0 positions participating in >=1 assignment — for
+        # two terms that is EXISTS b with |pb - 1 - pa| <= slop
+        q = Phrase(tuple(PHRASE), slop=SLOPPY_SLOP, ordered=False)
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
     def nested_bool_bm25(spark, sf):
         # boolean-of-boolean: (table OR value) MUST + data SHOULD - window
         q = Boolean(must=[Boolean(should=[Term("table"), Term("value")])],
@@ -377,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": phrase_bm25,
         "sloppy_phrase_bm25": sloppy_phrase_bm25,
         "sloppy_phrase3_bm25": sloppy_phrase3_bm25,
+        "unordered_phrase_bm25": unordered_phrase_bm25,
         "bool_phrase_bm25": bool_phrase_bm25,
         "nested_bool_bm25": nested_bool_bm25,
         "multifield_bm25": multifield_bm25,
@@ -556,6 +566,40 @@ starts AS (
   AND EXISTS (SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
               AND b.term = '{t1}'
               AND b.pos > a.pos AND b.pos <= a.pos + 1 + {int(slop)})
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS total
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _unordered_phrase_sql(terms: list[str], slop: int) -> str:
+    """2-term UNORDERED sloppy phrase oracle (query.Phrase ordered=False,
+    Lucene-transposition window semantics): offset-0 position a
+    participates iff an occurrence b of the second term exists with
+    shifted distance |(b.pos - 1) - a.pos| <= slop — i.e. b.pos in
+    [a.pos + 1 - slop, a.pos + 1 + slop]; tf = participating starts,
+    rarest-term idf (identical scoring shape to the ordered oracle)."""
+    assert len(terms) == 2, "driver unordered oracle is the 2-term form"
+    t0 = terms[0].replace("'", "''")
+    t1 = terms[1].replace("'", "''")
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  AND EXISTS (SELECT 1 FROM tok b WHERE b.doc_id = a.doc_id
+              AND b.term = '{t1}'
+              AND b.pos >= a.pos + 1 - {int(slop)}
+              AND b.pos <= a.pos + 1 + {int(slop)})
 ),
 pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
 SELECT doc_id, ROUND(total, 6) AS score FROM (
@@ -870,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_bm25": _phrase_sql(PHRASE),
         "sloppy_phrase_bm25": _sloppy_phrase_sql(PHRASE, SLOPPY_SLOP),
         "sloppy_phrase3_bm25": _sloppy_phrase3_sql(PHRASE3, SLOPPY3_SLOP),
+        "unordered_phrase_bm25": _unordered_phrase_sql(PHRASE, SLOPPY_SLOP),
         "bool_phrase_bm25": _bool_phrase_sql(PHRASE, SINGLE_TERM),
         "nested_bool_bm25": _nested_bool_sql(["table", "value"],
                                              SINGLE_TERM, "window"),

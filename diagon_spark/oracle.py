@@ -157,11 +157,48 @@ def _sloppy_start_matches(start: int, pos_lists: list[list[int]],
     return False
 
 
+def _unordered_p0_matches(p0: int, pos_lists: list[list[int]],
+                          terms: list[str], slop: int) -> bool:
+    """Brute-force existence check for ONE offset-0 position under the
+    UNORDERED semantics (query.Phrase ordered=False): enumerate every
+    combination of positions within the slop window around p0's shifted
+    value and accept iff max(p_i - i) - min(p_i - i) <= slop with
+    distinct positions among offsets of the same term. Deliberately a
+    different algorithm from the engine's anchor-window cover
+    (wand.phrase_matches) / interval greedy (_unordered_repeat_freqs)."""
+    import itertools
+    windows = []
+    for i, pl in enumerate(pos_lists, start=1):
+        # any valid assignment containing p0 has |(p - i) - p0| <= slop
+        w = [p for p in pl if p0 - slop + i <= p <= p0 + slop + i]
+        if not w:
+            return False
+        windows.append(w)
+    for combo in itertools.product(*windows):
+        seq = (p0, *combo)
+        shifted = [p - i for i, p in enumerate(seq)]
+        if max(shifted) - min(shifted) > slop:
+            continue
+        by_term: dict = {}
+        ok = True
+        for t, p in zip(terms, seq):
+            if p in by_term.setdefault(t, set()):
+                ok = False  # repeated term reusing a position
+                break
+            by_term[t].add(p)
+        if ok:
+            return True
+    return False
+
+
 def phrase_scores(idx: OracleIndex, terms: list[str],
-                  slop: int = 0) -> dict[int, np.float32]:
+                  slop: int = 0,
+                  ordered: bool = True) -> dict[int, np.float32]:
     """All docs matching the phrase -> f32 score (rarest-term idf).
     slop=0 exact (PhraseQuery.cpp:28-34); slop>0 ordered near-match per
-    query.Phrase, freq = number of matching start positions."""
+    query.Phrase (freq = number of matching start positions), or
+    unordered window-match when ordered=False (freq = number of offset-0
+    positions participating in >=1 valid assignment)."""
     if not terms:
         return {}
     cand = set(idx.postings.get(terms[0], {}))
@@ -183,10 +220,14 @@ def phrase_scores(idx: OracleIndex, terms: list[str],
             for i, t in enumerate(terms[1:], start=1):
                 starts &= {p - i for p in idx.postings[t][d]}
             freq = len(starts)
-        else:
+        elif ordered:
             rest = [sorted(idx.postings[t][d]) for t in terms[1:]]
             freq = sum(1 for a in idx.postings[terms[0]][d]
                        if _sloppy_start_matches(a, rest, slop))
+        else:
+            rest = [sorted(idx.postings[t][d]) for t in terms[1:]]
+            freq = sum(1 for a in set(idx.postings[terms[0]][d])
+                       if _unordered_p0_matches(a, rest, list(terms), slop))
         if freq:
             out[d] = scorer.score(np.array([freq]),
                                   np.array([idx.norm[d]]))[0]
@@ -231,7 +272,8 @@ def eval_query_oracle(query, field_indexes: dict[str, "OracleIndex"],
         if isinstance(node, Phrase):
             idx = field_indexes[node.field or default_field]
             base = phrase_scores(idx, list(node.phrase_terms),
-                                 slop=getattr(node, "slop", 0))
+                                 slop=getattr(node, "slop", 0),
+                                 ordered=getattr(node, "ordered", True))
             if node.boost != 1.0:
                 return {d: np.float32(s * np.float32(node.boost))
                         for d, s in base.items()}

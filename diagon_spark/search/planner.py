@@ -137,7 +137,7 @@ class PlannerMixin:
             fld = self._resolve_field(q.field)
             keys = [(fld, t) for t in q.phrase_terms]
             return {"kind": "phrase", "terms": keys, "slop": q.slop,
-                    "params": {},
+                    "ordered": q.ordered, "params": {},
                     "phrase_params": self._phrase_params_for(keys, q.boost),
                     "all_terms": sorted(set(keys)), "need_positions": True}
         if isinstance(q, Boolean) and self._is_flat_bool(q):
@@ -182,7 +182,7 @@ class PlannerMixin:
             pid = state["pid"]; state["pid"] += 1
             state["params"][pid] = self._phrase_params_for(keys, q.boost)
             return {"op": "phrase", "keys": keys, "pid": pid,
-                    "slop": q.slop}
+                    "slop": q.slop, "ordered": q.ordered}
         if isinstance(q, (Range, MatchAll)):
             aux_id = len(state["aux"])
             state["aux"].append(q)
@@ -221,7 +221,8 @@ def run_segment_spec(spec: dict, postings: dict, aux_sets: dict, k: int,
     if spec["kind"] == "phrase":
         return wand.phrase(postings, spec["phrase_params"], spec["terms"],
                            k, f64=f64, after=after, banned=banned,
-                           stats_out=stats_out, slop=spec.get("slop", 0))
+                           stats_out=stats_out, slop=spec.get("slop", 0),
+                           ordered=spec.get("ordered", True))
     if spec["kind"] == "bool":
         return wand.conjunction(
             postings, spec["params"], spec["must"], spec["should"],

@@ -63,21 +63,34 @@ class Phrase(Query):
 
     * slop=0 — exact consecutive positions (scorer-identical to the
       reference and bit-identical to this repo's pre-slop behavior);
-    * slop=s>0 — ordered near-match: positions p_0 < p_1 < ... < p_{n-1}
-      for the terms IN ORDER with total slack (p_{n-1} - p_0) - (n-1)
-      <= s. Matching is greedy minimal-next-position per start, which
-      decides existence exactly (taking the smallest next position never
-      hurts the final span); tf = number of matching start positions,
-      scored with the same rarest-term-idf BM25 as exact phrases.
-      Unordered Lucene-style transpositions are deliberately out of
-      scope — the reference has no sloppy scorer to mirror, so the
-      simplest well-defined (and SQL-oracle-expressible) semantics win.
+    * slop=s>0, ordered=True (default) — ordered near-match: positions
+      p_0 < p_1 < ... < p_{n-1} for the terms IN ORDER with total slack
+      (p_{n-1} - p_0) - (n-1) <= s. Matching is greedy
+      minimal-next-position per start, which decides existence exactly
+      (taking the smallest next position never hurts the final span);
+      tf = number of matching start positions, scored with the same
+      rarest-term-idf BM25 as exact phrases.
+    * slop=s>0, ordered=False — unordered (Lucene-transposition-style)
+      near-match: an assignment of one position p_i per query offset i
+      matches iff max_i(p_i - i) - min_i(p_i - i) <= s over the SHIFTED
+      positions p_i - i — exactly the window condition Lucene's
+      SloppyPhraseMatcher enforces, so "b a" matches Phrase("a","b")
+      at slop >= 2 (shifted spans -1 and +1). Offsets of the SAME
+      repeated term must take distinct positions (Lucene's repeats
+      rule); distinct terms may share a position (same-position
+      synonyms). tf = number of distinct positions of term_0 that
+      participate in at least one matching assignment — the same
+      countable-start definition as the ordered mode (Lucene's
+      weighted sloppyFreq Σ 1/(1+matchLength) is a scoring model this
+      engine's integer-tf BM25 deliberately does not adopt; the match
+      SET is Lucene's).
     """
 
     phrase_terms: tuple[str, ...]
     boost: float = 1.0
     field: str | None = None
     slop: int = 0
+    ordered: bool = True
 
     def __post_init__(self):
         if self.slop < 0:

@@ -542,9 +542,69 @@ def conjunction(postings: dict, params: dict,
     return _topk(cand, acc, k)
 
 
+def _unordered_feasible(terms: list, pos: dict, w: int, slop: int,
+                        fixed0: int) -> bool:
+    """One anchor-window feasibility check for the repeated-terms
+    unordered path: offset i may use positions in [w+i, w+i+slop];
+    offsets of the SAME term need distinct positions (Lucene repeats
+    rule), distinct terms may share. Offset 0 is pinned to `fixed0`.
+    Greedy in ascending offset order (ascending interval upper bound),
+    smallest available position — the exact interval-matching greedy."""
+    used: dict = {}
+    for i, t in enumerate(terms):
+        taken = used.setdefault(t, set())
+        if i == 0:
+            taken.add(fixed0)
+            continue
+        lo, hi = w + i, w + i + slop
+        j = int(np.searchsorted(pos[t], lo))
+        c = None
+        while j < len(pos[t]) and pos[t][j] <= hi:
+            if int(pos[t][j]) not in taken:
+                c = int(pos[t][j])
+                break
+            j += 1
+        if c is None:
+            return False
+        taken.add(c)
+    return True
+
+
+def _unordered_repeat_freqs(terms: list, skeys: dict, slop: int) -> dict:
+    """Unordered sloppy freqs when the phrase REPEATS a term — per-doc
+    anchor enumeration (rare query shape; exact). skeys: unique term ->
+    sorted composite keys. Returns {cand_idx: freq} where freq counts
+    distinct offset-0 positions participating in >=1 valid assignment."""
+    by_doc: dict = {t: {} for t in skeys}
+    for t, a in skeys.items():
+        dpart = a >> np.int64(32)
+        ppart = a & np.int64(0xFFFFFFFF)
+        cuts = np.flatnonzero(np.diff(dpart)) + 1
+        for d_arr, p_arr in zip(np.split(dpart, cuts),
+                                np.split(ppart, cuts)):
+            by_doc[t][int(d_arr[0])] = p_arr
+    docs_all = set.intersection(*(set(by_doc[t]) for t in by_doc))
+    freqs: dict = {}
+    for d in sorted(docs_all):
+        pos = {t: by_doc[t][d] for t in by_doc}
+        anchors = sorted({int(p) - i for i, t in enumerate(terms)
+                          for p in pos[t]})
+        starts: set = set()
+        for w in anchors:
+            for p0 in pos[terms[0]]:
+                p0 = int(p0)
+                if p0 < w or p0 > w + slop or p0 in starts:
+                    continue
+                if _unordered_feasible(terms, pos, w, slop, p0):
+                    starts.add(p0)
+        if starts:
+            freqs[d] = len(starts)
+    return freqs
+
+
 def phrase_matches(postings: dict, terms: list,
                    restrict: tuple[int, int] | None = None,
-                   slop: int = 0):
+                   slop: int = 0, ordered: bool = True):
     """All docs matching the phrase → (docs asc, phrase freqs, norms).
     PhraseQuery.cpp:28-225: conjunction on docID, then position verify;
     tf = #start positions.
@@ -555,6 +615,11 @@ def phrase_matches(postings: dict, terms: list,
     (dense-candidate-index << 32 | position); a phrase start survives
     term i iff key+i exists in term i's key set — one np.isin per term
     instead of a python loop per candidate doc.
+
+    slop>0, ordered=False (unordered Lucene-transposition-style match,
+    see query.Phrase): shifted-key window cover — anchors at every
+    shifted key, one searchsorted per query offset; repeated terms take
+    the exact per-doc interval-matching path (_unordered_repeat_freqs).
 
     slop>0 (ordered near-match, see query.Phrase): greedy chaining over
     the same composite keys — for each surviving start, the minimal key
@@ -603,13 +668,14 @@ def phrase_matches(postings: dict, terms: list,
         idx = np.searchsorted(cand, np.concatenate(dl)).astype(np.int64)
         keys[t] = (idx << np.int64(32)) + np.concatenate(pl)
 
+    doc_idx = freqs = None
     if slop == 0:
         surv = keys[terms[0]]
         for i, t in enumerate(terms[1:], start=1):
             surv = surv[np.isin(surv + np.int64(i), keys[t])]
             if len(surv) == 0:
                 return z, z, z
-    else:
+    elif ordered:
         # keys are naturally ascending (blocks in doc order, positions
         # ascending within a doc) but greedy chaining REQUIRES sorted
         # lookup arrays — sort defensively (near-sorted, cheap)
@@ -628,8 +694,49 @@ def phrase_matches(postings: dict, terms: list,
         surv = starts[(cur - starts) <= np.int64(len(terms) - 1 + slop)]
         if len(surv) == 0:
             return z, z, z
+    else:
+        # UNORDERED near-match (query.Phrase ordered=False): an
+        # assignment of one position per query offset matches iff its
+        # SHIFTED positions p_i - i all fit in a window of width slop —
+        # Lucene's SloppyPhraseMatcher condition. Anchor candidate
+        # windows at every shifted key (every assignment's minimum IS
+        # one), keep anchors whose [w, w+slop] covers a key of every
+        # offset (one searchsorted per offset); a start p_0 participates
+        # iff some surviving anchor's window contains it.
+        skeys = {t: np.sort(a) for t, a in keys.items()}
+        sl = np.int64(slop)
+        if len(skeys) < len(terms):  # repeated term: distinct-position
+            fr = _unordered_repeat_freqs(terms, skeys, slop)
+            if not fr:
+                return z, z, z
+            doc_idx = np.array(sorted(fr), np.int64)
+            freqs = np.array([fr[int(i)] for i in doc_idx], np.int64)
+        else:
+            off = np.int64(len(terms))  # keep shifted values positive
+            shifted = [skeys[t] - np.int64(i) + off
+                       for i, t in enumerate(terms)]
+            anchors = np.unique(np.concatenate(shifted))
+            okw = np.ones(len(anchors), bool)
+            for si in shifted:
+                ins = np.searchsorted(si, anchors)
+                has = ins < len(si)
+                v = si[np.minimum(ins, len(si) - 1)]
+                okw &= (has & (v <= anchors + sl)
+                        & ((v >> np.int64(32)) == (anchors >> np.int64(32))))
+            wins = anchors[okw]
+            if len(wins) == 0:
+                return z, z, z
+            s0 = shifted[0]
+            j = np.searchsorted(wins, s0, side="right") - 1
+            wj = wins[np.maximum(j, 0)]
+            okp = ((j >= 0) & (wj >= s0 - sl)
+                   & ((wj >> np.int64(32)) == (s0 >> np.int64(32))))
+            surv = s0[okp] - off
+            if len(surv) == 0:
+                return z, z, z
 
-    doc_idx, freqs = np.unique(surv >> np.int64(32), return_counts=True)
+    if doc_idx is None:
+        doc_idx, freqs = np.unique(surv >> np.int64(32), return_counts=True)
     docs = cand[doc_idx]
     nd = np.concatenate(norm_docs)
     nv = np.concatenate(norm_vals)
@@ -639,9 +746,11 @@ def phrase_matches(postings: dict, terms: list,
 
 def phrase(postings: dict, phrase_params: TermScorerParams,
            terms: list, k: int, f64: bool = False, after=None,
-           banned=None, stats_out: dict | None = None, slop: int = 0):
+           banned=None, stats_out: dict | None = None, slop: int = 0,
+           ordered: bool = True):
     """Phrase top-k (PhraseQuery.cpp:28-34; slop>0 per query.Phrase)."""
-    docs, freqs, norms = phrase_matches(postings, terms, slop=slop)
+    docs, freqs, norms = phrase_matches(postings, terms, slop=slop,
+                                        ordered=ordered)
     keep = _mask_banned(docs, banned)
     if keep is not None:
         docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
@@ -650,7 +759,8 @@ def phrase(postings: dict, phrase_params: TermScorerParams,
         # matching doc was enumerated, slop or not); `slop` records the
         # evaluation mode so consumers can tell near-match results from
         # exact-phrase ones (ADVICE r4) without conflating the two.
-        stats_out.update(total=int(len(docs)), exact=True, slop=int(slop))
+        stats_out.update(total=int(len(docs)), exact=True, slop=int(slop),
+                         ordered=bool(ordered or slop == 0))
         _fill_block_stats(stats_out, postings, terms)
     if len(docs) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -705,7 +815,8 @@ def eval_tree(node: dict, postings: dict, params: dict, aux_sets: dict,
         d, freqs, norms = phrase_matches(postings,
                                          [tuple(k) for k in node["keys"]],
                                          restrict,
-                                         slop=node.get("slop", 0))
+                                         slop=node.get("slop", 0),
+                                         ordered=node.get("ordered", True))
         if len(d) == 0:
             return empty
         return d, np.asarray(params[node["pid"]].score(freqs, norms, f64),

@@ -31,6 +31,9 @@ DOCS = [
     "to be or not to be repeated terms",
     "alpha lonely no partner here",
     "beta lonely no partner either",
+    "beta gap alpha gapped transposition",           # 13: shifted range 3
+    "three one two rotated order here",              # 14: shifted range 3
+    "two one three shuffled mix now",                # 15: shifted range 2
 ]
 FILLER = [f"filler pad w{i % 7} text{i % 5} noise" for i in range(27)]
 
@@ -133,3 +136,72 @@ def test_count_parity(built):
 def test_negative_slop_rejected():
     with pytest.raises(ValueError):
         Phrase(("a", "b"), slop=-1)
+
+
+# ------------------------------------------- unordered (ordered=False)
+
+
+def test_unordered_slop0_equals_exact(built):
+    s, ls, oracle = built
+    exact = ls.search(Phrase(("alpha", "beta")), k=K)
+    un0 = ls.search(Phrase(("alpha", "beta"), slop=0, ordered=False), k=K)
+    assert exact == un0
+
+
+@pytest.mark.parametrize("slop", [1, 2, 3])
+def test_unordered_two_term_vs_oracle(built, slop):
+    s, ls, oracle = built
+    q = Phrase(("alpha", "beta"), slop=slop, ordered=False)
+    exp = _check_both(s, ls, q, oracle)
+    matched = {d for d, _ in exp}
+    # Lucene transposition cost: "beta alpha" (doc 4) has shifted span 2,
+    # "beta gap alpha" (doc 13) span 3
+    assert (4 in matched) == (slop >= 2)
+    assert (13 in matched) == (slop >= 3)
+    # every ordered match is an unordered match at the same slop
+    ordered_m = {d for d, _ in
+                 _expected(Phrase(("alpha", "beta"), slop=slop), oracle)}
+    assert ordered_m <= matched
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2, 3])
+def test_unordered_three_term_vs_oracle(built, slop):
+    s, ls, oracle = built
+    q = Phrase(("one", "two", "three"), slop=slop, ordered=False)
+    exp = _check_both(s, ls, q, oracle)
+    matched = {d for d, _ in exp}
+    assert 6 in matched                      # consecutive always
+    assert (14 in matched) == (slop >= 3)    # "three one two" span 3
+    assert (15 in matched) == (slop >= 2)    # "two one three" span 2
+
+
+@pytest.mark.parametrize("slop", [2, 3, 5])
+def test_unordered_repeated_terms(built, slop):
+    s, ls, oracle = built
+    # repeated terms must take DISTINCT positions (Lucene repeats rule):
+    # doc 10 "to be or not to be" — Phrase("be","be") needs both 'be'
+    # occurrences, shifted span (5-0)-(1-1)... = 3 -> matches slop>=3
+    exp = _check_both(s, ls, Phrase(("be", "be"), slop=slop,
+                                    ordered=False), oracle)
+    assert (10 in {d for d, _ in exp}) == (slop >= 3)
+    _check_both(s, ls, Phrase(("be", "to", "be"), slop=slop,
+                              ordered=False), oracle)
+
+
+def test_unordered_as_boolean_clause(built):
+    s, ls, oracle = built
+    q = Boolean(must=[Phrase(("alpha", "beta"), slop=2, ordered=False)],
+                should=[Term("filler")])
+    _check_both(s, ls, q, oracle)
+
+
+def test_unordered_freq_counts_participating_starts(built):
+    s, ls, oracle = built
+    # doc 5 "alpha beta alpha gap beta": at slop=1 unordered, both alpha
+    # positions participate (0 with beta@1; 2 with beta@1 shifted span 2?
+    # no — 2 with beta@4: shifted 2,3 span 1) -> freq 2 > doc 0's freq 1,
+    # and scores must exceed the slop=0 ones (freq 1)
+    s0 = dict(ls.search(Phrase(("alpha", "beta"), slop=0), k=K))
+    u1 = dict(ls.search(Phrase(("alpha", "beta"), slop=1,
+                               ordered=False), k=K))
+    assert u1[5] > s0[5]
