@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -233,9 +234,7 @@ def main() -> None:
     # per-segment scoring is embarrassingly parallel (asserted in
     # tests/test_plans.py), so qps should scale with cores up to the
     # box's memory-bus ceiling (scripts/substrate_probe.py).
-    from concurrent.futures import ThreadPoolExecutor
-
-    from diagon_spark.corpus import corpus_df, VOCAB
+    from diagon_spark.corpus import corpus_df
 
     # Ladder corpus size: the per-query ~0.3s scheduler floor is a FIXED
     # serial cost, so measured efficiency rises with corpus size exactly
@@ -265,28 +264,25 @@ def main() -> None:
     # methodology note).
     kernel_ceiling = _query_kernel_ceiling(scale_cat, q_heavy_terms=10)
 
-    q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
-
     def _cell(cores: int, n_q: int, n_measured: int) -> list[float]:
-        """One measurement cell: fresh session at `cores`, one DISCARDED
-        warm round (BASELINE.md round-3 note: the first round at a fresh
-        core level is cold — codegen/JIT/page-cache — and measured 2x
-        slower at 1 core), then `n_measured` timed rounds."""
-        spark = _session(reuse_workers=True, cores=cores)
-        spark.sparkContext.setLogLevel("ERROR")
-        s2 = Searcher(spark, scale_cat)
-
-        def _round() -> float:
-            t = time.time()
-            with ThreadPoolExecutor(8) as ex:
-                list(ex.map(lambda _i: s2.search(q_heavy, k=100).collect(),
-                            range(n_q)))
-            return n_q / (time.time() - t)
-
-        _round()
-        rounds = [round(_round(), 3) for _rep in range(n_measured)]
-        spark.stop()
-        return rounds
+        """One measurement cell in its OWN subprocess — a fresh JVM per
+        cell, not just a fresh SparkSession. Sequential stop()/start()
+        cycles inside one JVM accumulate heap/GC state, and a round-5
+        builder run measured qps decaying MONOTONICALLY across six
+        same-JVM cells (0.159 -> 0.122 at 1 core) while the bare-fork
+        kernel ceiling held 0.996 — the decay was JVM state, not the
+        box. scaling_run.py always used process-per-level; this applies
+        the same discipline to the query ladder. Each cell still runs
+        one DISCARDED warm round, then `n_measured` timed rounds."""
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cell",
+             str(cores), str(n_q), str(n_measured), scale_dir],
+            capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in p.stdout.splitlines()
+                 if ln.startswith("CELL ")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(f"ladder cell failed: {p.stderr[-2000:]}")
+        return json.loads(lines[-1][5:])
 
     # INTERLEAVED paired cells (round-5 lesson): this box's throughput
     # drifts 30-50% between measurement windows minutes apart (memory
@@ -298,16 +294,23 @@ def main() -> None:
     # Alternating 1-core/4-core cells puts each pair's two measurements
     # minutes apart, each pair yields its own efficiency ratio, and the
     # MEDIAN of the pair ratios is the headline — one drift burst can
-    # corrupt one pair, not the median.
+    # corrupt one pair, not the median. The cell ORDER also alternates
+    # between pairs ((1,4), (4,1), (1,4), ...): any residual monotone
+    # drift then biases consecutive pairs in OPPOSITE directions, so the
+    # median cancels it instead of inheriting a one-sided bias.
     n_pairs = int(os.environ.get("SPARK_GRAFT_LADDER_PAIRS", "3"))
     qps_rounds: dict[int, list[list[float]]] = {1: [], 4: []}
     pair_effs: list[float] = []
-    for _p in range(n_pairs):
-        r1 = _cell(1, n_q=8, n_measured=2)
-        r4 = _cell(4, n_q=16, n_measured=2)
-        qps_rounds[1].append(r1)
-        qps_rounds[4].append(r4)
-        pair_effs.append(round(max(r4) / (4 * max(r1)), 3))
+    cell_order: list[str] = []
+    for p_i in range(n_pairs):
+        order = (1, 4) if p_i % 2 == 0 else (4, 1)
+        got: dict[int, list[float]] = {}
+        for c in order:
+            got[c] = _cell(c, n_q=8 if c == 1 else 16, n_measured=2)
+        qps_rounds[1].append(got[1])
+        qps_rounds[4].append(got[4])
+        pair_effs.append(round(max(got[4]) / (4 * max(got[1])), 3))
+        cell_order.append("-".join(str(c) for c in order))
     eff = float(sorted(pair_effs)[len(pair_effs) // 2])
     qps = {c: max(max(cell) for cell in qps_rounds[c]) for c in (1, 4)}
     query_scaling = {
@@ -317,6 +320,7 @@ def main() -> None:
         "qps_rounds_1core": qps_rounds[1],
         "qps_rounds_4core": qps_rounds[4],
         "pair_effs": pair_effs,
+        "cell_order": cell_order,
         "efficiency_1to4": round(eff, 3),
         "kernel_ceiling_1to4": kernel_ceiling,
         # the hardware-relative headline: ceiling is measured the same
@@ -348,5 +352,40 @@ def main() -> None:
     }))
 
 
+def _cell_main(cores: int, n_q: int, n_measured: int,
+               scale_root: str) -> None:
+    """Subprocess entry for one query-scaling cell (see _cell in main):
+    fresh JVM, fresh session at `cores`, one discarded warm round, then
+    `n_measured` timed rounds of n_q concurrent heavy OR-10 queries.
+    Prints `CELL [qps, ...]` on stdout."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from diagon_spark import Searcher
+    from diagon_spark.corpus import VOCAB
+    from diagon_spark.index.builder import IndexCatalog
+    from diagon_spark.search.query import Boolean, Term
+
+    spark = _session(reuse_workers=True, cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    s2 = Searcher(spark, IndexCatalog.load(scale_root))
+    q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
+
+    def _round() -> float:
+        t = time.time()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda _i: s2.search(q_heavy, k=100).collect(),
+                        range(n_q)))
+        return n_q / (time.time() - t)
+
+    _round()
+    rounds = [round(_round(), 3) for _rep in range(n_measured)]
+    spark.stop()
+    print("CELL " + json.dumps(rounds))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--cell":
+        _cell_main(int(sys.argv[2]), int(sys.argv[3]),
+                   int(sys.argv[4]), sys.argv[5])
+    else:
+        main()

@@ -51,7 +51,11 @@ def _rand_leaf(rng, depth):
     if roll < 0.8:
         t1 = rng.choice(TERMS[:10])
         t2 = rng.choice(TERMS[:10])
-        return Phrase((t1, t2))
+        # random slop + order mode (t1 may equal t2, fuzzing the
+        # repeated-term distinct-position path too)
+        slop = rng.choice([0, 0, 0, 1, 2, 3])
+        ordered = slop == 0 or rng.random() < 0.5
+        return Phrase((t1, t2), slop=slop, ordered=ordered)
     if roll < 0.9:
         lo = rng.choice([None, 10, 30])
         hi = rng.choice([None, 60, 120])
