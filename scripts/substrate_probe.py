@@ -9,7 +9,7 @@ orchestration costs beyond the substrate. On a real N→4N EXECUTOR
 cluster each node brings its own memory bus, so the contention term
 scales with N by construction.
 
-Usage: python scripts/substrate_probe.py <procs_a> <procs_b> [n_groups]
+Usage: python scripts/substrate_probe.py <procs_a> <procs_b> [n_groups] [docs_per_group]
 Prints one JSON line.
 """
 from __future__ import annotations
@@ -27,7 +27,9 @@ import multiprocessing as mp
 
 import numpy as np
 
-DOCS_PER_GROUP = 2500
+DOCS_PER_GROUP = 2500  # default; arg 4 overrides (match the real layout:
+#   19.5k docs/group for the 10M ladder, so the probed working set
+#   stresses DRAM the way the production encode tasks do)
 
 
 def _work(args):
@@ -42,6 +44,9 @@ def _work(args):
 def main() -> None:
     procs_a, procs_b = int(sys.argv[1]), int(sys.argv[2])
     n_groups = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    global DOCS_PER_GROUP
+    if len(sys.argv) > 4:
+        DOCS_PER_GROUP = int(sys.argv[4])
     from diagon_spark.corpus import generate_pandas
     groups = []
     for seg in range(n_groups):
