@@ -6,6 +6,8 @@ Usage:
   python scripts/scaling_run.py prepare <n_docs> <input_dir>   # once
   python scripts/scaling_run.py run <cpus> <input_dir> <out>   # per level
   python scripts/scaling_run.py report <json8> <json32>        # efficiency
+  python scripts/scaling_run.py pairseq <n> <4n> <input_dir> <out_base> \
+      [segments] [n_pairs]    # drift-proof alternating adjacent pairs
 
 `run` prints one JSON line {"cpus":..,"n_docs":..,"build_sec":..,
 "docs_per_sec":..,"query_p50_ms":{...}}. Each level must run in its own
@@ -17,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -106,6 +109,51 @@ def run(cpus: int, input_dir: str, out_dir: str,
     spark.stop()
 
 
+def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
+            num_segments: int = 64, n_pairs: int = 2) -> None:
+    """Drift-proof N→4N pair: run build levels in ALTERNATING order
+    (a,b then b,a then a,b ...), each level in its own subprocess/JVM,
+    and report every adjacent-pair efficiency plus the median — the
+    discipline bench.py's query ladder uses, applied to the build gate.
+    Round-5 measured two identical-config 10M builds 24% apart two
+    hours apart; a single sequential pair inherits that drift as bias,
+    alternating adjacent pairs cancel it in the median."""
+    results: list[dict] = []  # chronological {cpus, docs_per_sec}
+
+    def _one(cpus: int, tag: str) -> dict:
+        out = f"{out_base}_{tag}"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "run", str(cpus),
+             input_dir, out, str(num_segments)],
+            capture_output=True, text=True)
+        shutil.rmtree(out, ignore_errors=True)
+        if p.returncode != 0:
+            raise RuntimeError(f"level {cpus} failed: {p.stderr[-2000:]}")
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    for i in range(n_pairs):
+        order = (cpus_a, cpus_b) if i % 2 == 0 else (cpus_b, cpus_a)
+        for c in order:
+            r = _one(c, f"p{i}c{c}")
+            results.append({"cpus": r["cpus"],
+                            "docs_per_sec": r["docs_per_sec"]})
+    ratio = cpus_b / cpus_a
+    pair_effs = []
+    for x, y in zip(results, results[1:]):  # every ADJACENT a/b pair
+        lo, hi = ((x, y) if x["cpus"] == cpus_a else (y, x))
+        if lo["cpus"] == cpus_a and hi["cpus"] == cpus_b:
+            pair_effs.append(round(
+                hi["docs_per_sec"] / (ratio * lo["docs_per_sec"]), 3))
+    med = sorted(pair_effs)[len(pair_effs) // 2] if pair_effs else None
+    print(json.dumps({
+        "n": cpus_a, "4n": cpus_b, "levels": results,
+        "pair_effs": pair_effs, "efficiency_median": med,
+        "meets_0.8": bool(med is not None and med >= 0.8),
+    }))
+
+
 def report(path8: str, path32: str) -> None:
     a = json.loads(open(path8).read().strip().splitlines()[-1])
     b = json.loads(open(path32).read().strip().splitlines()[-1])
@@ -127,6 +175,11 @@ if __name__ == "__main__":
     elif cmd == "run":
         run(int(sys.argv[2]), sys.argv[3], sys.argv[4],
             int(sys.argv[5]) if len(sys.argv) > 5 else 64)
+    elif cmd == "pairseq":
+        pairseq(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                sys.argv[5],
+                int(sys.argv[6]) if len(sys.argv) > 6 else 64,
+                int(sys.argv[7]) if len(sys.argv) > 7 else 2)
     elif cmd == "report":
         report(sys.argv[2], sys.argv[3])
     else:
