@@ -146,7 +146,14 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
         if lo["cpus"] == cpus_a and hi["cpus"] == cpus_b:
             pair_effs.append(round(
                 hi["docs_per_sec"] / (ratio * lo["docs_per_sec"]), 3))
-    med = sorted(pair_effs)[len(pair_effs) // 2] if pair_effs else None
+    med = None
+    if pair_effs:
+        s = sorted(pair_effs)
+        n = len(s)
+        # true median; for even counts the MIDPOINT of the middle two —
+        # the upper-median would silently report max() at n_pairs=2
+        med = round(s[n // 2] if n % 2 else
+                    (s[n // 2 - 1] + s[n // 2]) / 2, 3)
     print(json.dumps({
         "n": cpus_a, "4n": cpus_b, "levels": results,
         "pair_effs": pair_effs, "efficiency_median": med,
