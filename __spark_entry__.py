@@ -175,6 +175,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = Phrase(tuple(PHRASE), slop=SLOPPY_SLOP, ordered=False)
         return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
 
+    def unordered_phrase3_bm25(spark, sf):
+        # n=3 unordered (VERDICT r5 ask #6): beyond the n=2 case the
+        # window condition is no longer a single pairwise distance — an
+        # assignment (p0,p1,p2) matches iff the SHIFTED positions
+        # s_i = p_i - i fit a width-slop window, i.e. max(s)-min(s) <=
+        # slop, which for the oracle is the three pairwise |s_i - s_j|
+        # <= slop bounds (equivalent: the max pairwise diff IS max-min)
+        q = Phrase(tuple(PHRASE3), slop=SLOPPY3_SLOP, ordered=False)
+        return _rounded(_searcher(spark, sf).search(q, k=100, f64=True))
+
     def nested_bool_bm25(spark, sf):
         # boolean-of-boolean: (table OR value) MUST + data SHOULD - window
         q = Boolean(must=[Boolean(should=[Term("table"), Term("value")])],
@@ -387,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase_bm25": sloppy_phrase_bm25,
         "sloppy_phrase3_bm25": sloppy_phrase3_bm25,
         "unordered_phrase_bm25": unordered_phrase_bm25,
+        "unordered_phrase3_bm25": unordered_phrase3_bm25,
         "bool_phrase_bm25": bool_phrase_bm25,
         "nested_bool_bm25": nested_bool_bm25,
         "multifield_bm25": multifield_bm25,
@@ -586,7 +597,12 @@ def _unordered_phrase_sql(terms: list[str], slop: int) -> str:
     shifted distance |(b.pos - 1) - a.pos| <= slop — i.e. b.pos in
     [a.pos + 1 - slop, a.pos + 1 + slop]; tf = participating starts,
     rarest-term idf (identical scoring shape to the ordered oracle)."""
-    assert len(terms) == 2, "driver unordered oracle is the 2-term form"
+    # distinctness is load-bearing, not just arity: with t0 == t1 the
+    # EXISTS below would let occurrence b reuse position a (b.pos ==
+    # a.pos satisfies the window at slop >= 1), diverging from the
+    # engine's distinct-position repeats rule (_unordered_repeat_freqs)
+    assert len(terms) == 2 and terms[0] != terms[1], \
+        "driver unordered oracle is the 2-DISTINCT-term form"
     t0 = terms[0].replace("'", "''")
     t1 = terms[1].replace("'", "''")
     return f"""WITH {_TOK_CTE},
@@ -600,6 +616,47 @@ starts AS (
               AND b.term = '{t1}'
               AND b.pos >= a.pos + 1 - {int(slop)}
               AND b.pos <= a.pos + 1 + {int(slop)})
+),
+pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
+SELECT doc_id, ROUND(total, 6) AS score FROM (
+  SELECT pf.doc_id,
+    LN(1.0 + (s.max_doc - m.mdf + 0.5) / (m.mdf + 0.5)) * pf.ptf /
+    (pf.ptf + 1.2 * (1.0 - 0.75 + 0.75 *
+      (CASE WHEN nrm.norm IN (0, 127) THEN 1.0
+            ELSE (127.0 / nrm.norm) * (127.0 / nrm.norm) END)
+      / (CAST(s.sttf AS DOUBLE) / s.max_doc))) AS total
+  FROM pf JOIN norms nrm USING(doc_id) CROSS JOIN stats s CROSS JOIN mindf m
+) ORDER BY total DESC, doc_id ASC LIMIT 100"""
+
+
+def _unordered_phrase3_sql(terms: list[str], slop: int) -> str:
+    """3-term UNORDERED sloppy phrase oracle (query.Phrase ordered=False,
+    n=3): an assignment of one occurrence per query offset matches iff
+    its shifted positions s_i = p_i - i fit a width-`slop` window —
+    max(s) - min(s) <= slop, i.e. ALL pairwise |s_i - s_j| <= slop (the
+    max pairwise difference IS max-min). tf = distinct offset-0
+    positions participating in >= 1 valid assignment; rarest-term idf
+    (identical scoring shape to the other phrase oracles). Distinct
+    terms only: with 3 distinct terms every occurrence sits at its own
+    position, so no distinct-position constraint is needed (the engine's
+    repeated-term path, _unordered_repeat_freqs, stays pytest-only)."""
+    assert len(terms) == 3 and len(set(terms)) == 3, \
+        "driver unordered-3 oracle requires 3 DISTINCT terms"
+    t0, t1, t2 = (t.replace("'", "''") for t in terms)
+    s = int(slop)
+    return f"""WITH {_TOK_CTE},
+dfq AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN ({_terms_in(terms)}) GROUP BY term),
+mindf AS (SELECT GREATEST(MIN(df), 1) AS mdf FROM dfq),
+starts AS (
+  SELECT a.doc_id, a.pos FROM tok a
+  WHERE a.term = '{t0}'
+  AND EXISTS (SELECT 1 FROM tok b, tok c
+              WHERE b.doc_id = a.doc_id AND c.doc_id = a.doc_id
+              AND b.term = '{t1}' AND c.term = '{t2}'
+              AND ABS((b.pos - 1) - a.pos) <= {s}
+              AND ABS((c.pos - 2) - a.pos) <= {s}
+              AND ABS((c.pos - 2) - (b.pos - 1)) <= {s})
 ),
 pf AS (SELECT doc_id, COUNT(*) AS ptf FROM starts GROUP BY doc_id)
 SELECT doc_id, ROUND(total, 6) AS score FROM (
@@ -915,6 +972,8 @@ def oracle_sql() -> dict[str, str]:
         "sloppy_phrase_bm25": _sloppy_phrase_sql(PHRASE, SLOPPY_SLOP),
         "sloppy_phrase3_bm25": _sloppy_phrase3_sql(PHRASE3, SLOPPY3_SLOP),
         "unordered_phrase_bm25": _unordered_phrase_sql(PHRASE, SLOPPY_SLOP),
+        "unordered_phrase3_bm25": _unordered_phrase3_sql(PHRASE3,
+                                                         SLOPPY3_SLOP),
         "bool_phrase_bm25": _bool_phrase_sql(PHRASE, SINGLE_TERM),
         "nested_bool_bm25": _nested_bool_sql(["table", "value"],
                                              SINGLE_TERM, "window"),

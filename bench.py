@@ -12,6 +12,7 @@ data-pipeline headliners (minhash-LSH dedup, brute-force knn).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import subprocess
@@ -59,44 +60,113 @@ def _kernel_task(i: int) -> float:
     return time.time() - t
 
 
-def _query_kernel_ceiling(scale_cat, q_heavy_terms: int = 10,
-                          passes: int = 2) -> float:
-    """1→4-process scaling efficiency of the BARE scoring kernel (no
-    Spark, no scheduler): per-segment Block-Max OR scoring of the ladder
-    query over the ladder index under multiprocessing. This is the same
-    substrate-decomposition the build gate uses
-    (scripts/substrate_probe.py): on one box, memory-bus contention caps
-    ANY 4-way concurrent run of this kernel below 1.0; the Spark path is
-    judged against THIS ceiling. Must run with no live SparkSession
-    (fork safety)."""
-    import multiprocessing as mp
+class _KernelProbe:
+    """Per-PAIR query-kernel ceiling (VERDICT r5 ask #1): the bare
+    scoring kernel (per-segment Block-Max OR of the ladder query over
+    the ladder index) under plain multiprocessing — zero Spark, zero
+    scheduler. On one box, memory-bus contention caps ANY 4-way
+    concurrent run of this kernel below 1.0, so each Spark-ladder pair
+    is judged against a ceiling measured in ITS OWN drift window, not a
+    session-start number the box may have drifted away from. Each
+    pair_pass measures both arms back-to-back and returns that single
+    pass's ratio — no independent per-arm min across passes, which let
+    each arm cherry-pick a different drift window and once recorded a
+    physically impossible 1.097 (ADVICE r5 #4). Must run with no live
+    SparkSession in this process (fork safety)."""
 
-    from diagon_spark.corpus import VOCAB
-    from diagon_spark.search.local_reader import LocalSearcher
-    from diagon_spark.search.query import Boolean, Term
+    def __init__(self, scale_cat, q_heavy_terms: int = 10):
+        from diagon_spark.corpus import VOCAB
+        from diagon_spark.search.local_reader import LocalSearcher
+        from diagon_spark.search.query import Boolean, Term
 
-    ls = LocalSearcher(scale_cat)
-    q = Boolean(should=[Term(w) for w in VOCAB[:q_heavy_terms]])
-    spec = ls.plan(q)
-    groups = [p for _s, p, _aux, _banned in ls._segment_groups(spec)]
-    _KERNEL_STATE["spec"] = spec
-    _KERNEL_STATE["groups"] = groups
-    n_tasks = max(len(groups), 16)
-    walls: dict[int, float] = {1: float("inf"), 4: float("inf")}
-    try:
-        # interleave 1-proc and 4-proc passes (same discipline as the
-        # Spark ladder's paired cells): an all-1-then-all-4 order lets
-        # monotone box drift bias the ratio one way — a round-5 run
-        # recorded a physically impossible 1.097 ceiling that way
-        for _ in range(passes):
-            for procs in (1, 4):
-                t0 = time.time()
-                with mp.get_context("fork").Pool(procs) as pool:
-                    pool.map(_kernel_task, range(n_tasks), chunksize=1)
-                walls[procs] = min(walls[procs], time.time() - t0)
-    finally:
+        ls = LocalSearcher(scale_cat)
+        q = Boolean(should=[Term(w) for w in VOCAB[:q_heavy_terms]])
+        spec = ls.plan(q)
+        groups = [p for _s, p, _aux, _banned in ls._segment_groups(spec)]
+        _KERNEL_STATE["spec"] = spec
+        _KERNEL_STATE["groups"] = groups
+        self.n_tasks = max(len(groups), 16)
+
+    def pair_pass(self, first: int) -> dict:
+        import multiprocessing as mp
+        walls: dict[int, float] = {}
+        for procs in ((1, 4) if first == 1 else (4, 1)):
+            t0 = time.time()
+            with mp.get_context("fork").Pool(procs) as pool:
+                pool.map(_kernel_task, range(self.n_tasks), chunksize=1)
+            walls[procs] = time.time() - t0
+        return {"w1": round(walls[1], 2), "w4": round(walls[4], 2),
+                "ratio": round(walls[1] / (4 * walls[4]), 3)}
+
+    def close(self) -> None:
         _KERNEL_STATE.clear()
-    return round(walls[1] / (4 * walls[4]), 3)
+
+
+def _box_probe(iters: int = 20) -> dict:
+    """Substrate fingerprint (VERDICT r5 ask #2): FIXED single-thread
+    numpy work — sort + permuted gather + reduce over a 32 MiB array,
+    deterministic input — split into the two components that drift
+    independently on this box:
+    - `alloc_sec`: the first two iterations, dominated by first-touch
+      page faults / allocator warm-in (measured 2.0 s -> 0.09 s across
+      repeats on a rested box); on a memory-pressured or fragmented box
+      THIS is the component that balloons.
+    - `sec`: `iters` steady-state iterations after warm-in — pure
+      CPU/cache speed, the cross-round normalizer (BENCH_r04 vs r05
+      were mutually un-interpretable without one: suite 16.2 -> 21.6 s
+      on bit-identical plans).
+    Fixed WORK (not fixed time), so both numbers compare across rounds
+    and boxes."""
+    import numpy as np
+    rng = np.random.default_rng(12345)
+    a = rng.standard_normal(1 << 22)
+    perm = rng.permutation(1 << 22)
+    acc = 0.0
+    t0 = time.time()
+    for _ in range(2):
+        b = np.sort(a)
+        acc += float(b[perm[::7]].sum())
+    alloc_sec = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        b = np.sort(a)
+        acc += float(b[perm[::7]].sum())
+    assert acc == acc  # keep the loop live
+    return {"sec": round(time.time() - t0, 3),
+            "alloc_sec": round(alloc_sec, 3)}
+
+
+def _vm_snapshot() -> dict:
+    """Kernel memory-pressure counters for per-cell attribution
+    (VERDICT r5 ask #1 instrumentation): MemAvailable plus the global
+    compaction/reclaim counters whose growth across ladder cells would
+    finger memory pressure (THP compaction, direct reclaim) as the
+    4-core decay mechanism."""
+    snap: dict = {}
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    snap["mem_avail_mb"] = int(ln.split()[1]) // 1024
+                    break
+        want = {"compact_stall", "thp_fault_alloc",
+                "pgscan_direct", "pgsteal_direct"}
+        with open("/proc/vmstat") as f:
+            for ln in f:
+                k, _, v = ln.partition(" ")
+                if k in want:
+                    snap[k] = int(v)
+    except OSError:
+        pass
+    return snap
+
+
+def _median(vals: list[float]) -> float:
+    """True median — midpoint of the middle two for even counts (the
+    upper-median silently reports max() at n=2; ADVICE/VERDICT r5)."""
+    s = sorted(vals)
+    n = len(s)
+    return float(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2)
 
 
 def main() -> None:
@@ -105,6 +175,10 @@ def main() -> None:
     from diagon_spark import build_index, Searcher
     from diagon_spark.pipelines import dedup, similarity
     from diagon_spark.search.query import Boolean, Phrase, Term
+
+    # substrate fingerprint FIRST (no JVM yet, box at rest) and again at
+    # the end — BENCH_rN readers drift-normalize with these
+    box_probe = _box_probe()
 
     spark = _session(reuse_workers=False)
     spark.sparkContext.setLogLevel("ERROR")
@@ -162,20 +236,25 @@ def main() -> None:
     local_detail: dict[str, dict] = {}
     for name, q in qset.items():
         ls.search(q, k=100)  # warm
-        samples = []
+        rounds_raw = []
         for _ in range(local_n):
             t = time.time()
             ls.search(q, k=100)
-            samples.append(time.time() - t)
-        samples.sort()
+            rounds_raw.append(time.time() - t)
+        samples = sorted(rounds_raw)
         p50 = samples[len(samples) // 2]
         timings[f"local_{name}"] = p50
         local_detail[f"local_{name}"] = {
             "p50": round(p50, 4),
-            "p95": round(samples[min(int(local_n * 0.95),
-                                     local_n - 1)], 4),
+            # nearest-rank p95: ceil(0.95*n)-1 (index 18 at n=20) — the
+            # old int(n*0.95) was the max relabeled (ADVICE r5 #1)
+            "p95": round(samples[max(0, math.ceil(0.95 * local_n) - 1)], 4),
             "n": local_n,
             "min": round(samples[0], 4), "max": round(samples[-1], 4),
+            # raw CHRONOLOGICAL rounds (VERDICT r5 ask #5): a tail spike
+            # is attributable from the artifact — burst at round k
+            # (page-cache fault / GC) vs monotone degradation
+            "rounds": [round(s, 4) for s in rounds_raw],
         }
 
     t = time.time()
@@ -264,82 +343,8 @@ def main() -> None:
     ladder_build_sec = time.time() - t
     spark.stop()
 
-    # Same-session QUERY-KERNEL ceiling under bare multiprocessing (zero
-    # Spark) — the build gate's substrate-probe pattern applied to the
-    # scoring kernel: per-segment OR-10 scoring at 1 vs 4 processes
-    # measures the box's DRAM-contention ceiling for THIS work, so the
-    # Spark-path efficiency below is judged against what the hardware
-    # allows, not against an unreachable 1.0 (BASELINE.md query-ladder
-    # methodology note).
-    kernel_ceiling = _query_kernel_ceiling(scale_cat, q_heavy_terms=10)
-
-    def _cell(cores: int, n_q: int, n_measured: int) -> list[float]:
-        """One measurement cell in its OWN subprocess — a fresh JVM per
-        cell, not just a fresh SparkSession. Sequential stop()/start()
-        cycles inside one JVM accumulate heap/GC state, and a round-5
-        builder run measured qps decaying MONOTONICALLY across six
-        same-JVM cells (0.159 -> 0.122 at 1 core) while the bare-fork
-        kernel ceiling held 0.996 — the decay was JVM state, not the
-        box. scaling_run.py always used process-per-level; this applies
-        the same discipline to the query ladder. Each cell still runs
-        one DISCARDED warm round, then `n_measured` timed rounds."""
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cell",
-             str(cores), str(n_q), str(n_measured), scale_dir],
-            capture_output=True, text=True, timeout=1800)
-        lines = [ln for ln in p.stdout.splitlines()
-                 if ln.startswith("CELL ")]
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(f"ladder cell failed: {p.stderr[-2000:]}")
-        return json.loads(lines[-1][5:])
-
-    # INTERLEAVED paired cells (round-5 lesson): this box's throughput
-    # drifts 30-50% between measurement windows minutes apart (memory
-    # compaction / page-cache state — BASELINE.md round-5 THP note), so
-    # the old sequential structure (all 1-core rounds, THEN all 4-core
-    # rounds ~10 min later) measured the DRIFT as much as the scaling:
-    # identical code recorded 0.656 (driver) and 0.897 (builder) in
-    # round 4, and a physically impossible 1.11 in a round-5 preview.
-    # Alternating 1-core/4-core cells puts each pair's two measurements
-    # minutes apart, each pair yields its own efficiency ratio, and the
-    # MEDIAN of the pair ratios is the headline — one drift burst can
-    # corrupt one pair, not the median. The cell ORDER also alternates
-    # between pairs ((1,4), (4,1), (1,4), ...): any residual monotone
-    # drift then biases consecutive pairs in OPPOSITE directions, so the
-    # median cancels it instead of inheriting a one-sided bias.
-    n_pairs = int(os.environ.get("SPARK_GRAFT_LADDER_PAIRS", "3"))
-    qps_rounds: dict[int, list[list[float]]] = {1: [], 4: []}
-    pair_effs: list[float] = []
-    cell_order: list[str] = []
-    for p_i in range(n_pairs):
-        order = (1, 4) if p_i % 2 == 0 else (4, 1)
-        got: dict[int, list[float]] = {}
-        for c in order:
-            got[c] = _cell(c, n_q=8 if c == 1 else 16, n_measured=2)
-        qps_rounds[1].append(got[1])
-        qps_rounds[4].append(got[4])
-        pair_effs.append(round(max(got[4]) / (4 * max(got[1])), 3))
-        cell_order.append("-".join(str(c) for c in order))
-    eff = float(sorted(pair_effs)[len(pair_effs) // 2])
-    qps = {c: max(max(cell) for cell in qps_rounds[c]) for c in (1, 4)}
-    query_scaling = {
-        "corpus_docs": ladder_docs,
-        "qps_1core": round(qps[1], 3),
-        "qps_4core": round(qps[4], 3),
-        "qps_rounds_1core": qps_rounds[1],
-        "qps_rounds_4core": qps_rounds[4],
-        "pair_effs": pair_effs,
-        "cell_order": cell_order,
-        "efficiency_1to4": round(eff, 3),
-        "kernel_ceiling_1to4": kernel_ceiling,
-        # the hardware-relative headline: ceiling is measured the same
-        # session under bare multiprocessing (zero Spark), so eff/ceiling
-        # ≈ 1.0 means the Spark path adds no loss the box wasn't already
-        # imposing — the judged alternative bar (>= 0.95 of ceiling)
-        "efficiency_vs_ceiling": round(eff / kernel_ceiling, 3)
-        if kernel_ceiling else None,
-        "ladder_build_sec": round(ladder_build_sec, 1),
-    }
+    query_scaling = _query_scaling_ladder(scale_dir, scale_cat,
+                                          ladder_docs, ladder_build_sec)
     shutil.rmtree(scale_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -355,10 +360,156 @@ def main() -> None:
         "index_bytes_per_doc": round(postings_bytes / max(n_docs, 1), 1),
         "docs_table_bytes_per_doc": round(docs_bytes / max(n_docs, 1), 1),
         "cpus": int(CPUS),
+        "box_probe_sec": box_probe["sec"],
+        "box_probe_alloc_sec": box_probe["alloc_sec"],
+        "box_probe_end": _box_probe(),
         "local_detail": local_detail,
         "wand_skew": wand_skew,
         "query_scaling": query_scaling,
     }))
+
+
+def _query_scaling_ladder(scale_dir: str, scale_cat, ladder_docs: int,
+                          ladder_build_sec: float) -> dict:
+    """North-rule query-side evidence: throughput of concurrent heavy
+    OR-10 query streams at 1 core vs 4 cores over the ladder index.
+
+    Measurement discipline (accumulated across rounds 4-6):
+    - INTERLEAVED paired cells — this box drifts 30-50% between windows
+      minutes apart, so all-1-then-all-4 measures the drift, not the
+      scaling. Each pair yields its own ratio; the MEDIAN of pair
+      ratios is the headline, and pair cell-order alternates so
+      residual monotone drift biases consecutive pairs in OPPOSITE
+      directions.
+    - Fresh JVM per cell (subprocess): same-JVM stop()/start() cycles
+      accumulate heap/GC state — a round-5 run decayed monotonically
+      across six same-JVM cells while the bare-fork kernel held 0.996.
+    - Per-PAIR kernel ceiling (round-6, VERDICT r5 ask #1): BENCH_r05's
+      4-core cells decayed 0.581 -> 0.296 qps across the ladder while
+      1-core cells held — a box-state signature (sustained multi-core
+      memory pressure), not an engine property. A bare-multiprocessing
+      ceiling pass now runs INSIDE each pair's window, so every pair
+      carries its own hardware denominator: if the box fatigues, the
+      ceiling fatigues with it and eff/ceiling stays honest.
+    - Per-cell substrate instrumentation: a fixed mini numpy probe +
+      /proc/{meminfo,vmstat} counters around every cell, recorded in
+      the artifact, so any future decay is attributable from the
+      artifact alone (probe slows -> box; probe flat + qps decays ->
+      engine/JVM path, must be fixed).
+
+    Gate (round-4 wording): efficiency_1to4 >= 0.8, OR every pair
+    within 5% of its OWN same-window ceiling (`gate_met`)."""
+    kernel = _KernelProbe(scale_cat, q_heavy_terms=10)
+
+    def _cell(cores: int, n_q: int, n_measured: int) -> list[float]:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cell",
+             str(cores), str(n_q), str(n_measured), scale_dir],
+            capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in p.stdout.splitlines()
+                 if ln.startswith("CELL ")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(f"ladder cell failed: {p.stderr[-2000:]}")
+        return json.loads(lines[-1][5:])
+
+    n_pairs = int(os.environ.get("SPARK_GRAFT_LADDER_PAIRS", "3"))
+    qps_rounds: dict[int, list[list[float]]] = {1: [], 4: []}
+    pair_effs: list[float] = []
+    pair_ceilings: list[float] = []
+    pairs_detail: list[dict] = []
+    cell_order: list[str] = []
+    try:
+        for p_i in range(n_pairs):
+            order = (1, 4) if p_i % 2 == 0 else (4, 1)
+            got: dict[int, list[float]] = {}
+            cells: list[dict] = []
+            for c in order:
+                pre = {**_box_probe(iters=3), **_vm_snapshot()}
+                got[c] = _cell(c, n_q=8 if c == 1 else 16, n_measured=2)
+                cells.append({"cores": c, "qps": got[c], "pre": pre,
+                              "post": {**_box_probe(iters=3),
+                                       **_vm_snapshot()}})
+            # the pair's own hardware denominator, measured in the same
+            # window; arm order alternates with the pair's cell order
+            ceil_pass = kernel.pair_pass(first=order[0])
+            eff = round(max(got[4]) / (4 * max(got[1])), 3)
+            qps_rounds[1].append(got[1])
+            qps_rounds[4].append(got[4])
+            pair_effs.append(eff)
+            pair_ceilings.append(ceil_pass["ratio"])
+            cell_order.append("-".join(str(c) for c in order))
+            pairs_detail.append({
+                "order": cell_order[-1], "eff": eff,
+                "ceiling": ceil_pass["ratio"],
+                "eff_vs_ceiling": round(eff / ceil_pass["ratio"], 3),
+                "kernel_walls": {"w1": ceil_pass["w1"],
+                                 "w4": ceil_pass["w4"]},
+                "cells": cells,
+            })
+    finally:
+        kernel.close()
+
+    eff = round(_median(pair_effs), 3)
+    kernel_ceiling = round(_median(pair_ceilings), 3)
+    eff_vs_own = [p["eff_vs_ceiling"] for p in pairs_detail]
+    # median pair's qps: these two numbers reproduce efficiency_1to4 by
+    # division (odd n_pairs), unlike best-of-all-cells (ADVICE r5 #3)
+    med_i = pair_effs.index(sorted(pair_effs)[len(pair_effs) // 2])
+    return {
+        "corpus_docs": ladder_docs,
+        "qps_best_1core": round(max(max(c) for c in qps_rounds[1]), 3),
+        "qps_best_4core": round(max(max(c) for c in qps_rounds[4]), 3),
+        "qps_median_pair_1core": round(max(qps_rounds[1][med_i]), 3),
+        "qps_median_pair_4core": round(max(qps_rounds[4][med_i]), 3),
+        "qps_rounds_1core": qps_rounds[1],
+        "qps_rounds_4core": qps_rounds[4],
+        "pair_effs": pair_effs,
+        "pair_ceilings": pair_ceilings,
+        "pair_eff_vs_ceiling": eff_vs_own,
+        "cell_order": cell_order,
+        "efficiency_1to4": eff,
+        "kernel_ceiling_1to4": kernel_ceiling,
+        "efficiency_vs_ceiling": round(eff / kernel_ceiling, 3)
+        if kernel_ceiling else None,
+        "gate_met": bool(eff >= 0.8 or (eff_vs_own
+                                        and min(eff_vs_own) >= 0.95)),
+        "pairs_detail": pairs_detail,
+        "ladder_build_sec": round(ladder_build_sec, 1),
+    }
+
+
+def _ladder_main(scale_dir: str | None) -> None:
+    """`bench.py --ladder [dir]` — run ONLY the query-scaling ladder,
+    reusing a prebuilt ladder index at `dir` when one exists (iterating
+    on the scaling instrument without paying the suite + build each
+    time). Prints one JSON line {"query_scaling": {...}}."""
+    from diagon_spark.corpus import corpus_df
+    from diagon_spark.index.builder import IndexCatalog
+    from diagon_spark import build_index
+
+    ladder_docs = int(os.environ.get("SPARK_GRAFT_LADDER_DOCS", "800000"))
+    build_sec = 0.0
+    cat = None
+    if scale_dir:
+        try:
+            cat = IndexCatalog.load(scale_dir)
+        except FileNotFoundError:
+            cat = None
+    if cat is None:
+        scale_dir = scale_dir or tempfile.mkdtemp(
+            prefix="diagon_bench_scale_")
+        spark = _session(reuse_workers=False)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = time.time()
+        cat = build_index(spark, corpus_df(spark, ladder_docs,
+                                           partitions=64),
+                          scale_dir, num_segments=int(CPUS),
+                          num_buckets=16, positions=False)
+        build_sec = time.time() - t
+        spark.stop()
+    print(json.dumps({
+        "query_scaling": _query_scaling_ladder(scale_dir, cat,
+                                               ladder_docs, build_sec)}))
 
 
 def _cell_main(cores: int, n_q: int, n_measured: int,
@@ -374,7 +525,12 @@ def _cell_main(cores: int, n_q: int, n_measured: int,
     from diagon_spark.index.builder import IndexCatalog
     from diagon_spark.search.query import Boolean, Term
 
-    spark = _session(reuse_workers=True, cores=cores)
+    # worker reuse in ladder cells is env-switchable for A/B runs:
+    # reuse=true amortizes spawn cost over ms-scale tasks, reuse=false
+    # eliminates any long-lived-worker accumulation (the build path's
+    # round-5 lesson). Default true — see BASELINE.md query-ladder note.
+    reuse = os.environ.get("SPARK_GRAFT_LADDER_REUSE", "true") == "true"
+    spark = _session(reuse_workers=reuse, cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     s2 = Searcher(spark, IndexCatalog.load(scale_root))
     q_heavy = Boolean(should=[Term(w) for w in VOCAB[:10]])
@@ -396,5 +552,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--cell":
         _cell_main(int(sys.argv[2]), int(sys.argv[3]),
                    int(sys.argv[4]), sys.argv[5])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ladder":
+        _ladder_main(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         main()

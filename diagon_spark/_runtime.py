@@ -47,6 +47,55 @@ def disable_thp_once() -> None:
         pass
 
 
+# glibc mallopt parameter numbers (malloc.h; stable ABI constants)
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+_malloc_done = False
+
+
+def tune_malloc_once() -> None:
+    """Pin glibc's dynamic mmap/trim thresholds (idempotent,
+    best-effort, no-op off glibc or with DIAGON_KEEP_MALLOC=1).
+
+    Why: glibc RAISES M_MMAP_THRESHOLD dynamically (up to 32 MiB) every
+    time an mmap'd block is freed, so a long-lived worker that churns
+    1-32 MiB numpy temporaries — exactly the scoring/encode kernels'
+    allocation profile — migrates those temporaries from mmap (returned
+    to the OS on free) onto the main heap, where interleaved lifetimes
+    fragment it and RSS ratchets up monotonically. Under concurrency
+    that creep multiplies by the worker count and turns into box-level
+    memory pressure (reclaim/page-cache eviction), which is the
+    signature BENCH_r05's query ladder recorded: 4-core cells decaying
+    monotonically (0.581 -> 0.296 qps) while 1-core cells held. Pinning
+    the threshold at 1 MiB keeps every large temp mmap-backed (freed =
+    returned), trading a ~us mmap/munmap per large buffer — noise
+    against ms-scale kernels. Same class of allocator guidance
+    ClickHouse/ES ship (they switch allocators entirely; mallopt is the
+    no-dependency form). THP is already off per-process
+    (disable_thp_once), so mmap churn cannot re-trigger hugepage
+    compaction."""
+    global _malloc_done
+    if _malloc_done:
+        return
+    _malloc_done = True
+    if os.environ.get("DIAGON_KEEP_MALLOC"):
+        return
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 20)
+        libc.mallopt(_M_TRIM_THRESHOLD, 4 << 20)
+    except Exception:  # noqa: BLE001 - tuning must never break a task
+        pass
+
+
+def worker_init() -> None:
+    """Process-level runtime init for any process running heavy numpy
+    kernels (executor python workers, the local serving path, bench
+    cells): THP off + allocator thresholds pinned. Idempotent."""
+    disable_thp_once()
+    tune_malloc_once()
+
+
 def thp_disabled() -> int:
     """Current PR_GET_THP_DISABLE flag (observability; -1 on failure)."""
     try:

@@ -109,8 +109,8 @@ def corpus_df(spark, n_rows: int, partitions: int | None = None,
     parts = partitions or max(1, min(64, n_rows // 2000 or 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from diagon_spark._runtime import disable_thp_once
-        disable_thp_once()
+        from diagon_spark._runtime import worker_init
+        worker_init()
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):

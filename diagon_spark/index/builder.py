@@ -303,8 +303,8 @@ def _encode_segment_fn(num_buckets: int, has_positions: bool, analyzer=None):
         import os as _os
         import time as _time
 
-        from diagon_spark._runtime import disable_thp_once, thp_disabled
-        disable_thp_once()
+        from diagon_spark._runtime import thp_disabled, worker_init
+        worker_init()
         _prof_path = _os.environ.get("DIAGON_ENCODE_PROF")
         _ph: dict = {"enter": _time.time(), "n_docs": len(pdf),
                      "thp_off": thp_disabled()}

@@ -105,8 +105,8 @@ def _merge_group_fn(has_positions: bool, num_segments: int):
 
     def merge(key, pdf: pd.DataFrame, tomb_pdf: pd.DataFrame | None
               ) -> pd.DataFrame:
-        from diagon_spark._runtime import disable_thp_once
-        disable_thp_once()
+        from diagon_spark._runtime import worker_init
+        worker_init()
         if tomb_pdf is not None and len(tomb_pdf):
             tombstones = np.unique(tomb_pdf["doc_id"].to_numpy(np.int64))
         else:

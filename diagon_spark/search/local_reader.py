@@ -53,8 +53,8 @@ _POS_COLS = _BASE_COLS + ["pos_blocks", "block_pos_off"]
 class LocalSearcher(PlannerMixin):
     def __init__(self, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
-        from diagon_spark._runtime import disable_thp_once
-        disable_thp_once()
+        from diagon_spark._runtime import worker_init
+        worker_init()
         self.cat = catalog
         # snapshot the opened-at commit generation: the caller may keep
         # using `catalog` as a writer handle (commit() advances its

@@ -571,8 +571,8 @@ def _make_segment_fn(spec: dict, k: int, f64: bool, after, schema: str,
 
     def seg_fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame | None
                ) -> pd.DataFrame:
-        from diagon_spark._runtime import disable_thp_once
-        disable_thp_once()
+        from diagon_spark._runtime import worker_init
+        worker_init()
         segs = set(l_pdf["segment_id"].unique().tolist())
         if r_pdf is not None and len(r_pdf):
             segs |= set(r_pdf["segment_id"].unique().tolist())

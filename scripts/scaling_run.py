@@ -109,6 +109,21 @@ def run(cpus: int, input_dir: str, out_dir: str,
     spark.stop()
 
 
+def _count_docs(input_dir: str) -> int:
+    """Row count from parquet footers (no Spark) — sizes the pairseq
+    per-level timeout."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    n = 0
+    for f in pathlib.Path(input_dir).rglob("*.parquet"):
+        try:
+            n += pq.ParquetFile(str(f)).metadata.num_rows
+        except Exception:  # noqa: BLE001 - non-parquet stragglers
+            pass
+    return max(n, 1)
+
+
 def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
             num_segments: int = 64, n_pairs: int = 2) -> None:
     """Drift-proof N→4N pair: run build levels in ALTERNATING order
@@ -122,10 +137,21 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
 
     def _one(cpus: int, tag: str) -> dict:
         out = f"{out_base}_{tag}"
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "run", str(cpus),
-             input_dir, out, str(num_segments)],
-            capture_output=True, text=True)
+        # generous corpus-scaled timeout (ADVICE r5 #3): one hung build
+        # must fail the level, not stall the whole alternating harness.
+        # Budget: worst measured low-core rate ~1.2k docs/s with 5x
+        # headroom, floor 30 min (same spirit as bench.py --cell's 1800).
+        n_docs = _count_docs(input_dir)
+        budget = max(1800.0, n_docs / 1200.0 * 5.0)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "run",
+                 str(cpus), input_dir, out, str(num_segments)],
+                capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired:
+            shutil.rmtree(out, ignore_errors=True)
+            raise RuntimeError(
+                f"level {cpus} timed out after {budget:.0f}s")
         shutil.rmtree(out, ignore_errors=True)
         if p.returncode != 0:
             raise RuntimeError(f"level {cpus} failed: {p.stderr[-2000:]}")
