@@ -165,6 +165,17 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
             r = _one(c, f"p{i}c{c}")
             results.append({"cpus": r["cpus"],
                             "docs_per_sec": r["docs_per_sec"]})
+            # incremental per-level progress on stderr: a multi-hour
+            # pairseq previously held ALL results in parent memory until
+            # the final print — a kill or crash lost the whole session.
+            # One flushed line per completed level makes a partial run
+            # recoverable from the log (round-6 lesson: a 4.5 h 10M run
+            # with zero visibility).
+            print("PAIRSEQ-LEVEL " + json.dumps(
+                {"ts": round(time.time(), 1), "pair": i, "cpus": c,
+                 "build_sec": r["build_sec"],
+                 "docs_per_sec": r["docs_per_sec"]}),
+                file=sys.stderr, flush=True)
     ratio = cpus_b / cpus_a
     pair_effs = []
     for x, y in zip(results, results[1:]):  # every ADJACENT a/b pair
