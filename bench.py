@@ -1,7 +1,13 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., plus throughput extras}.
+local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line (<1,500 chars —
+the driver records only a bounded stdout tail, and round 6's full-detail
+line outgrew it, losing the round's headline record):
+{"metric": ..., "value": total_sec, "unit": "sec", "gate_met": ...,
+ "queries": {...}, "sf": ..., throughput extras, "query_scaling":
+ {gate fields + per-pair efficiencies only}, "detail_artifact": path}.
+The bulky evidence (per-query raw rounds, per-pair cell probes/vmstat,
+kernel-ceiling walls) goes to the sidecar artifact at `detail_artifact`
+(scripts/artifacts/bench_detail_latest.json), committed with the repo.
 
 Query classes mirror the reference benchmark set
 (benchmarks/reuters_benchmark.cpp:197-317): single-term, AND-2,
@@ -15,7 +21,6 @@ import json
 import math
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 import time
@@ -25,6 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
+ART_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scripts", "artifacts")
+
+
+def _emit(headline: dict, detail: dict,
+          detail_name: str = "bench_detail_latest.json") -> None:
+    """Print the compact headline as ONE stdout JSON line and write the
+    bulky evidence to a sidecar artifact (path recorded in the line).
+    The driver captures only a bounded stdout tail, so the line length
+    is checked — a warning on stderr, never a failure."""
+    os.makedirs(ART_DIR, exist_ok=True)
+    path = os.path.join(ART_DIR, detail_name)
+    with open(path, "w") as f:
+        json.dump(detail, f)
+    headline["detail_artifact"] = f"scripts/artifacts/{detail_name}"
+    line = json.dumps(headline)
+    if len(line) > 1500:
+        print(f"WARN: headline line {len(line)} chars (> 1500 budget)",
+              file=sys.stderr, flush=True)
+    print(line)
 
 
 def _session(reuse_workers: bool, cores: int | str | None = None):
@@ -175,6 +200,9 @@ def main() -> None:
     from diagon_spark import build_index, Searcher
     from diagon_spark.pipelines import dedup, similarity
     from diagon_spark.search.query import Boolean, Phrase, Term
+
+    from diagon_spark._runtime import worker_init
+    worker_init()  # THP off + allocator pinned for every fork below
 
     # substrate fingerprint FIRST (no JVM yet, box at rest) and again at
     # the end — BENCH_rN readers drift-normalize with these
@@ -349,10 +377,16 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = sum(timings.values())
-    print(json.dumps({
+    box_probe_end = _box_probe()
+    # gate verdict FIRST (after metric/value/unit): even a truncated
+    # stdout tail then still carries the scaling-gate fields
+    headline = {
         "metric": "index-build + BM25 query suite wall time",
         "value": round(total, 3),
         "unit": "sec",
+        "gate_met": query_scaling["gate_met"],
+        "pair_effs": query_scaling["pair_effs"],
+        "pair_ceilings": query_scaling["pair_ceilings"],
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": sf,
         "n_docs": n_docs,
@@ -362,11 +396,30 @@ def main() -> None:
         "cpus": int(CPUS),
         "box_probe_sec": box_probe["sec"],
         "box_probe_alloc_sec": box_probe["alloc_sec"],
-        "box_probe_end": _box_probe(),
+        "box_probe_end_sec": box_probe_end["sec"],
+        "wand_skip_pct": wand_skew["skip_pct"],
+        "query_scaling": _compact_scaling(query_scaling),
+    }
+    _emit(headline, {
+        "box_probe": box_probe,
+        "box_probe_end": box_probe_end,
         "local_detail": local_detail,
         "wand_skew": wand_skew,
         "query_scaling": query_scaling,
-    }))
+    })
+
+
+def _compact_scaling(qs: dict) -> dict:
+    """The gate + per-pair summary of a _query_scaling_ladder result —
+    everything a reader needs to check the north-rule gate, none of the
+    per-cell probe/vmstat bulk (that lives in the sidecar artifact)."""
+    keep = ("gate_met", "pair_effs", "pair_ceilings",
+            "pair_eff_vs_ceiling", "efficiency_1to4",
+            "kernel_ceiling_1to4", "efficiency_vs_ceiling",
+            "corpus_docs", "qps_best_1core", "qps_best_4core",
+            "qps_median_pair_1core", "qps_median_pair_4core",
+            "cell_order", "ladder_build_sec")
+    return {k: qs[k] for k in keep if k in qs}
 
 
 def _query_scaling_ladder(scale_dir: str, scale_cat, ladder_docs: int,
@@ -402,14 +455,17 @@ def _query_scaling_ladder(scale_dir: str, scale_cat, ladder_docs: int,
     kernel = _KernelProbe(scale_cat, q_heavy_terms=10)
 
     def _cell(cores: int, n_q: int, n_measured: int) -> list[float]:
-        p = subprocess.run(
+        # own process group + file-backed output: a hung cell's JVM
+        # grandchild cannot outlive the timeout holding stdout pipes
+        # open (ADVICE r6 #1) — the whole group is SIGKILLed
+        from diagon_spark._procutil import run_grouped
+        rc, out, err = run_grouped(
             [sys.executable, os.path.abspath(__file__), "--cell",
              str(cores), str(n_q), str(n_measured), scale_dir],
-            capture_output=True, text=True, timeout=1800)
-        lines = [ln for ln in p.stdout.splitlines()
-                 if ln.startswith("CELL ")]
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(f"ladder cell failed: {p.stderr[-2000:]}")
+            timeout=1800)
+        lines = [ln for ln in out.splitlines() if ln.startswith("CELL ")]
+        if rc != 0 or not lines:
+            raise RuntimeError(f"ladder cell failed: {err[-2000:]}")
         return json.loads(lines[-1][5:])
 
     n_pairs = int(os.environ.get("SPARK_GRAFT_LADDER_PAIRS", "3"))
@@ -453,26 +509,35 @@ def _query_scaling_ladder(scale_dir: str, scale_cat, ladder_docs: int,
     kernel_ceiling = round(_median(pair_ceilings), 3)
     eff_vs_own = [p["eff_vs_ceiling"] for p in pairs_detail]
     # median pair's qps: these two numbers reproduce efficiency_1to4 by
-    # division (odd n_pairs), unlike best-of-all-cells (ADVICE r5 #3)
-    med_i = pair_effs.index(sorted(pair_effs)[len(pair_effs) // 2])
+    # division ONLY for odd n_pairs (the true median is then a single
+    # pair); for even counts the median is the midpoint of two pairs and
+    # no single pair's qps reproduces it, so the fields are null rather
+    # than silently wrong (ADVICE r6 #4)
+    med_1 = med_4 = None
+    if len(pair_effs) % 2:
+        med_i = pair_effs.index(sorted(pair_effs)[len(pair_effs) // 2])
+        med_1 = round(max(qps_rounds[1][med_i]), 3)
+        med_4 = round(max(qps_rounds[4][med_i]), 3)
+    # gate verdict FIRST: the driver tails stdout, so a truncated line
+    # must still carry the gate fields (VERDICT r6 ask #4)
     return {
-        "corpus_docs": ladder_docs,
-        "qps_best_1core": round(max(max(c) for c in qps_rounds[1]), 3),
-        "qps_best_4core": round(max(max(c) for c in qps_rounds[4]), 3),
-        "qps_median_pair_1core": round(max(qps_rounds[1][med_i]), 3),
-        "qps_median_pair_4core": round(max(qps_rounds[4][med_i]), 3),
-        "qps_rounds_1core": qps_rounds[1],
-        "qps_rounds_4core": qps_rounds[4],
+        "gate_met": bool(eff >= 0.8 or (eff_vs_own
+                                        and min(eff_vs_own) >= 0.95)),
         "pair_effs": pair_effs,
         "pair_ceilings": pair_ceilings,
         "pair_eff_vs_ceiling": eff_vs_own,
-        "cell_order": cell_order,
         "efficiency_1to4": eff,
         "kernel_ceiling_1to4": kernel_ceiling,
         "efficiency_vs_ceiling": round(eff / kernel_ceiling, 3)
         if kernel_ceiling else None,
-        "gate_met": bool(eff >= 0.8 or (eff_vs_own
-                                        and min(eff_vs_own) >= 0.95)),
+        "corpus_docs": ladder_docs,
+        "qps_best_1core": round(max(max(c) for c in qps_rounds[1]), 3),
+        "qps_best_4core": round(max(max(c) for c in qps_rounds[4]), 3),
+        "qps_median_pair_1core": med_1,
+        "qps_median_pair_4core": med_4,
+        "qps_rounds_1core": qps_rounds[1],
+        "qps_rounds_4core": qps_rounds[4],
+        "cell_order": cell_order,
         "pairs_detail": pairs_detail,
         "ladder_build_sec": round(ladder_build_sec, 1),
     }
@@ -482,22 +547,36 @@ def _ladder_main(scale_dir: str | None) -> None:
     """`bench.py --ladder [dir]` — run ONLY the query-scaling ladder,
     reusing a prebuilt ladder index at `dir` when one exists (iterating
     on the scaling instrument without paying the suite + build each
-    time). Prints one JSON line {"query_scaling": {...}}."""
+    time). Prints one compact JSON line {"query_scaling": {...}} and
+    writes the per-pair detail to the sidecar artifact."""
+    from diagon_spark._runtime import worker_init
     from diagon_spark.corpus import corpus_df
     from diagon_spark.index.builder import IndexCatalog
     from diagon_spark import build_index
 
+    worker_init()
     ladder_docs = int(os.environ.get("SPARK_GRAFT_LADDER_DOCS", "800000"))
     build_sec = 0.0
+    reused = False
+    made_tmp = False
     cat = None
     if scale_dir:
         try:
             cat = IndexCatalog.load(scale_dir)
+            reused = True
+            # corpus_docs must describe the index actually queried, not
+            # the env default (ADVICE r6 #2): read it from the commit's
+            # stats table (per-field doc_count, global by construction)
+            import pyarrow.parquet as pq
+            srows = pq.read_table(cat.stats_path).to_pylist()
+            ladder_docs = max((int(r["doc_count"] or 0) for r in srows),
+                              default=ladder_docs)
         except FileNotFoundError:
             cat = None
     if cat is None:
-        scale_dir = scale_dir or tempfile.mkdtemp(
-            prefix="diagon_bench_scale_")
+        if not scale_dir:
+            scale_dir = tempfile.mkdtemp(prefix="diagon_bench_scale_")
+            made_tmp = True
         spark = _session(reuse_workers=False)
         spark.sparkContext.setLogLevel("ERROR")
         t = time.time()
@@ -507,9 +586,15 @@ def _ladder_main(scale_dir: str | None) -> None:
                           num_buckets=16, positions=False)
         build_sec = time.time() - t
         spark.stop()
-    print(json.dumps({
-        "query_scaling": _query_scaling_ladder(scale_dir, cat,
-                                               ladder_docs, build_sec)}))
+    try:
+        qs = _query_scaling_ladder(scale_dir, cat, ladder_docs, build_sec)
+    finally:
+        if made_tmp:
+            shutil.rmtree(scale_dir, ignore_errors=True)
+    _emit({"query_scaling": {**_compact_scaling(qs),
+                             "index_reused": reused}},
+          {"query_scaling": qs},
+          detail_name="ladder_detail_latest.json")
 
 
 def _cell_main(cores: int, n_q: int, n_measured: int,
@@ -520,6 +605,7 @@ def _cell_main(cores: int, n_q: int, n_measured: int,
     Prints `CELL [qps, ...]` on stdout."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from diagon_spark._runtime import worker_init
     from diagon_spark import Searcher
     from diagon_spark.corpus import VOCAB
     from diagon_spark.index.builder import IndexCatalog
@@ -529,6 +615,8 @@ def _cell_main(cores: int, n_q: int, n_measured: int,
     # reuse=true amortizes spawn cost over ms-scale tasks, reuse=false
     # eliminates any long-lived-worker accumulation (the build path's
     # round-5 lesson). Default true — see BASELINE.md query-ladder note.
+    worker_init()  # tuning is explicit at harness entry points, not a
+    # LocalSearcher-constructor side effect (ADVICE r6 #3)
     reuse = os.environ.get("SPARK_GRAFT_LADDER_REUSE", "true") == "true"
     spark = _session(reuse_workers=reuse, cores=cores)
     spark.sparkContext.setLogLevel("ERROR")

@@ -90,8 +90,14 @@ def tune_malloc_once() -> None:
 
 def worker_init() -> None:
     """Process-level runtime init for any process running heavy numpy
-    kernels (executor python workers, the local serving path, bench
-    cells): THP off + allocator thresholds pinned. Idempotent."""
+    kernels: THP off + allocator thresholds pinned. Idempotent.
+
+    Call sites are EXPLICIT entry points we own — executor python
+    workers (builder encode fns, corpus gen), bench/scaling harness
+    mains — never library constructors: both tweaks are process-GLOBAL
+    side effects a host application must opt into, so the serving path
+    (LocalSearcher) only applies them under DIAGON_SERVING_TUNE=1
+    (ADVICE r6 #3)."""
     disable_thp_once()
     tune_malloc_once()
 

@@ -110,20 +110,16 @@ def sparse_topk_maxscore(postings: DataFrame, query: dict[str, float],
              .orderBy(F.desc("s")).limit(k).collect())
     theta = float(probe[-1].s) if len(probe) >= k else float("-inf")
 
-    # minimal essential prefix: suffix of excluded ubs must stay < θ
+    # minimal essential prefix: one O(n) walk from the tail, shrinking
+    # the prefix while the dropped-suffix upper-bound sum stays < θ —
+    # a dropped term alone can then never lift a doc past θ
+    n_ess = len(ubs)
     suffix = 0.0
-    essential = []
-    for ub, t in ubs:
-        essential.append(t)
-    # walk from the tail: drop terms while the dropped-suffix sum < θ
-    non_essential = []
-    for ub, t in reversed(ubs):
-        if len(essential) > 1 and suffix + ub < theta:
-            suffix += ub
-            non_essential.append(t)
-            essential.remove(t)
-        else:
-            break
+    while n_ess > 1 and suffix + ubs[n_ess - 1][0] < theta:
+        suffix += ubs[n_ess - 1][0]
+        n_ess -= 1
+    essential = [t for _ub, t in ubs[:n_ess]]
+    non_essential = [t for _ub, t in ubs[n_ess:]]
 
     ess = (postings.filter(F.col("term").isin(essential))
            .select("doc_id",

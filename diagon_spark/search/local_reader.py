@@ -32,6 +32,8 @@ fuzz parity suite with aux clauses).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as ds
@@ -53,8 +55,17 @@ _POS_COLS = _BASE_COLS + ["pos_blocks", "block_pos_off"]
 class LocalSearcher(PlannerMixin):
     def __init__(self, catalog: IndexCatalog,
                  deleted_doc_ids: list[int] | None = None):
-        from diagon_spark._runtime import worker_init
-        worker_init()
+        # Process-level runtime tuning (THP off + glibc malloc-threshold
+        # pinning, diagon_spark._runtime) is OPT-IN here: a library
+        # constructor must not silently mutate a host application's
+        # global allocator state (ADVICE r6 #3). Long-running serving
+        # hosts that want the executor-grade tuning set
+        # DIAGON_SERVING_TUNE=1; the executor/bench/harness entry points
+        # (builder encode fns, corpus gen, bench.py, scaling_run.py)
+        # call worker_init() explicitly and are unaffected.
+        if os.environ.get("DIAGON_SERVING_TUNE"):
+            from diagon_spark._runtime import worker_init
+            worker_init()
         self.cat = catalog
         # snapshot the opened-at commit generation: the caller may keep
         # using `catalog` as a writer handle (commit() advances its

@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
 
@@ -109,6 +108,76 @@ def run(cpus: int, input_dir: str, out_dir: str,
     spark.stop()
 
 
+# ---- build-kernel substrate probe (shared state for fork workers)
+_BUILD_KERNEL: dict = {}
+
+
+def _build_kernel_task(i: int) -> float:
+    enc = _BUILD_KERNEL["enc"]
+    groups = _BUILD_KERNEL["groups"]
+    t = time.time()
+    enc((i, "text"), groups[i % len(groups)])
+    return time.time() - t
+
+
+class _BuildKernelProbe:
+    """Per-PAIR build-kernel ceiling — the pairseq analogue of bench.py's
+    query-side _KernelProbe (the instrument that closed the query-scaling
+    gate in round 6, VERDICT r6 ask #3): the bare encode kernel
+    (builder._encode_segment_fn over ~20k-doc deterministic corpus
+    groups, the real sub-batch size) under plain multiprocessing — zero
+    Spark, zero scheduler. On one box, memory-bus contention caps ANY
+    multi-core concurrent run of this kernel below 1.0, so each build
+    pair is judged against a ceiling measured in ITS OWN drift window.
+    Both arms run back-to-back inside one pass (arm order matches the
+    pair's level order), so neither arm can cherry-pick a drift window.
+    Efficiency form generalizes the 1-vs-4 case: with per-arm walls w_a
+    (cpus_a procs) and w_b (cpus_b procs) over the same task set,
+    ratio = (w_a * cpus_a) / (w_b * cpus_b)."""
+
+    def __init__(self, cpus_a: int, cpus_b: int,
+                 group_docs: int = 20_000, n_groups: int = 4):
+        import numpy as np
+        import pandas as pd
+
+        from diagon_spark._runtime import worker_init
+        from diagon_spark.corpus import generate_pandas
+        from diagon_spark.index.builder import _encode_segment_fn
+
+        worker_init()  # THP off + allocator pinned, inherited by forks
+        groups = []
+        for g in range(n_groups):
+            pdf = generate_pandas(g * group_docs, (g + 1) * group_docs)
+            groups.append(pd.DataFrame({
+                "doc_id": np.arange(g * group_docs, (g + 1) * group_docs,
+                                    dtype=np.int64),
+                "__content": pdf["content"]}))
+        _BUILD_KERNEL["enc"] = _encode_segment_fn(num_buckets=16,
+                                                  has_positions=True)
+        _BUILD_KERNEL["groups"] = groups
+        self.a, self.b = cpus_a, cpus_b
+        # enough tasks that the wide arm runs >= 2 full waves
+        self.n_tasks = max(2 * max(cpus_a, cpus_b), 8)
+
+    def pair_pass(self, first: int) -> dict:
+        import multiprocessing as mp
+        walls: dict[int, float] = {}
+        order = (self.a, self.b) if first == self.a else (self.b, self.a)
+        for procs in order:
+            t0 = time.time()
+            with mp.get_context("fork").Pool(procs) as pool:
+                pool.map(_build_kernel_task, range(self.n_tasks),
+                         chunksize=1)
+            walls[procs] = time.time() - t0
+        return {"w_n": round(walls[self.a], 2),
+                "w_4n": round(walls[self.b], 2),
+                "ratio": round((walls[self.a] * self.a)
+                               / (walls[self.b] * self.b), 3)}
+
+    def close(self) -> None:
+        _BUILD_KERNEL.clear()
+
+
 def _count_docs(input_dir: str) -> int:
     """Row count from parquet footers (no Spark) — sizes the pairseq
     per-level timeout."""
@@ -132,37 +201,53 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
     discipline bench.py's query ladder uses, applied to the build gate.
     Round-5 measured two identical-config 10M builds 24% apart two
     hours apart; a single sequential pair inherits that drift as bias,
-    alternating adjacent pairs cancel it in the median."""
+    alternating adjacent pairs cancel it in the median.
+
+    Each pair also records its OWN same-window substrate ceiling
+    (_BuildKernelProbe, run right after the pair's two levels): the gate
+    is two-pronged exactly like the query ladder's —
+    median efficiency >= 0.8 absolute, OR every pair within 5% of its
+    own bare-kernel ceiling (VERDICT r6 ask #3)."""
     results: list[dict] = []  # chronological {cpus, docs_per_sec}
+    probe = _BuildKernelProbe(cpus_a, cpus_b)
 
     def _one(cpus: int, tag: str) -> dict:
+        from diagon_spark._procutil import GroupTimeout, run_grouped
         out = f"{out_base}_{tag}"
         # generous corpus-scaled timeout (ADVICE r5 #3): one hung build
         # must fail the level, not stall the whole alternating harness.
         # Budget: worst measured low-core rate ~1.2k docs/s with 5x
         # headroom, floor 30 min (same spirit as bench.py --cell's 1800).
+        # The level runs as its own process GROUP with file-backed
+        # output, SIGKILLed whole on timeout — a hung Spark JVM
+        # grandchild can neither survive the kill nor block the parent
+        # on inherited stdout pipes (ADVICE r6 #1); the rmtree below
+        # only ever runs after the group is dead.
         n_docs = _count_docs(input_dir)
         budget = max(1800.0, n_docs / 1200.0 * 5.0)
         try:
-            p = subprocess.run(
+            rc, out_s, err_s = run_grouped(
                 [sys.executable, os.path.abspath(__file__), "run",
                  str(cpus), input_dir, out, str(num_segments)],
-                capture_output=True, text=True, timeout=budget)
-        except subprocess.TimeoutExpired:
+                timeout=budget)
+        except GroupTimeout:
             shutil.rmtree(out, ignore_errors=True)
             raise RuntimeError(
                 f"level {cpus} timed out after {budget:.0f}s")
         shutil.rmtree(out, ignore_errors=True)
-        if p.returncode != 0:
-            raise RuntimeError(f"level {cpus} failed: {p.stderr[-2000:]}")
-        line = [ln for ln in p.stdout.splitlines()
+        if rc != 0:
+            raise RuntimeError(f"level {cpus} failed: {err_s[-2000:]}")
+        line = [ln for ln in out_s.splitlines()
                 if ln.startswith("{")][-1]
         return json.loads(line)
 
+    pairs: list[dict] = []
     for i in range(n_pairs):
         order = (cpus_a, cpus_b) if i % 2 == 0 else (cpus_b, cpus_a)
+        got: dict[int, dict] = {}
         for c in order:
             r = _one(c, f"p{i}c{c}")
+            got[c] = r
             results.append({"cpus": r["cpus"],
                             "docs_per_sec": r["docs_per_sec"]})
             # incremental per-level progress on stderr: a multi-hour
@@ -176,13 +261,28 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
                  "build_sec": r["build_sec"],
                  "docs_per_sec": r["docs_per_sec"]}),
                 file=sys.stderr, flush=True)
-    ratio = cpus_b / cpus_a
-    pair_effs = []
-    for x, y in zip(results, results[1:]):  # every ADJACENT a/b pair
-        lo, hi = ((x, y) if x["cpus"] == cpus_a else (y, x))
-        if lo["cpus"] == cpus_a and hi["cpus"] == cpus_b:
-            pair_effs.append(round(
-                hi["docs_per_sec"] / (ratio * lo["docs_per_sec"]), 3))
+        # the pair's own hardware denominator, measured in the same
+        # window; arm order matches the pair's level order
+        ceil_pass = probe.pair_pass(first=order[0])
+        eff = round(got[cpus_b]["docs_per_sec"]
+                    / ((cpus_b / cpus_a) * got[cpus_a]["docs_per_sec"]),
+                    3)
+        pairs.append({
+            "order": "-".join(str(c) for c in order),
+            "eff": eff,
+            "ceiling": ceil_pass["ratio"],
+            "eff_vs_ceiling": round(eff / ceil_pass["ratio"], 3),
+            "kernel_walls": {"w_n": ceil_pass["w_n"],
+                             "w_4n": ceil_pass["w_4n"]},
+            "docs_per_sec_n": got[cpus_a]["docs_per_sec"],
+            "docs_per_sec_4n": got[cpus_b]["docs_per_sec"],
+        })
+        print("PAIRSEQ-PAIR " + json.dumps(
+            {"ts": round(time.time(), 1), "pair": i, **pairs[-1]}),
+            file=sys.stderr, flush=True)
+    probe.close()
+    pair_effs = [p["eff"] for p in pairs]
+    eff_vs_own = [p["eff_vs_ceiling"] for p in pairs]
     med = None
     if pair_effs:
         s = sorted(pair_effs)
@@ -192,9 +292,18 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
         med = round(s[n // 2] if n % 2 else
                     (s[n // 2 - 1] + s[n // 2]) / 2, 3)
     print(json.dumps({
-        "n": cpus_a, "4n": cpus_b, "levels": results,
-        "pair_effs": pair_effs, "efficiency_median": med,
+        "gate_met": bool(med is not None
+                         and (med >= 0.8
+                              or (eff_vs_own
+                                  and min(eff_vs_own) >= 0.95))),
+        "n": cpus_a, "4n": cpus_b,
+        "pair_effs": pair_effs,
+        "pair_ceilings": [p["ceiling"] for p in pairs],
+        "pair_eff_vs_ceiling": eff_vs_own,
+        "efficiency_median": med,
         "meets_0.8": bool(med is not None and med >= 0.8),
+        "levels": results,
+        "pairs": pairs,
     }))
 
 
