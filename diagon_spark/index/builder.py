@@ -70,7 +70,120 @@ from diagon_spark.analysis.tokenizer import tokenize_series
 from diagon_spark.index.norms import encode_norm
 
 CHUNK_DOCS = 16384  # max docs per postings row (salting of heavy hitters)
+# encode-group routing: above this many groups the literal salt map would
+# bloat the plan — fall back to repartitionByRange (see _partition_salts)
+_SALT_ROUTE_MAX_GROUPS = 4096
 DOC_ID_SEGMENT_SHIFT = 40  # doc_id = segment_id << 40 | local_id
+
+
+def _lineage_arrow_schema(n_fields: int):
+    import pyarrow as pa
+    return pa.schema(
+        [pa.field("segment_id", pa.int32()),
+         pa.field("n_docs", pa.int64()),
+         pa.field("input_fingerprint", pa.int64()),
+         pa.field("n_postings", pa.int64())]
+        + [pa.field(f"sum_len__{i}", pa.int64()) for i in range(n_fields)]
+        + [pa.field("status", pa.string()),
+           pa.field("wall_ms", pa.int32()),
+           pa.field("batch", pa.int32()),
+           pa.field("ts", pa.timestamp("us", tz="UTC"))])
+
+
+def _append_tiny_parquet(spark, path: str, rows: list[dict],
+                         schema) -> None:
+    """Append a driver-known handful of metadata rows to a parquet dir
+    WITHOUT a Spark job: one pyarrow part file, written to a tmp name
+    and atomically renamed in (the same publish discipline as
+    _swap_write). Types are pinned by `schema` so files from different
+    waves/rounds always merge. A `ts` column, when present in the
+    schema but absent from the rows, is stamped with the current time."""
+    import uuid
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    if "ts" in schema.names and "ts" not in rows[0]:
+        now = datetime.now(timezone.utc)
+        rows = [{**r, "ts": now} for r in rows]
+    table = pa.Table.from_pylist(rows, schema=schema)
+    d = Path(path)
+    d.mkdir(parents=True, exist_ok=True)
+    name = f"part-driver-{uuid.uuid4().hex}.parquet"
+    tmp = d / f".{name}.tmp"
+    pq.write_table(table, tmp)
+    tmp.rename(d / name)
+    spark.catalog.refreshByPath(path)
+
+
+def _swap_tiny_parquet(spark, path: str, rows: list[dict], schema) -> None:
+    """Overwrite-swap a driver-known tiny metadata table (the pyarrow
+    analogue of _swap_write): stage one part file under `<path>.swap`,
+    atomically swap directories, refresh the session's file listing."""
+    import shutil
+    import uuid
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if "ts" in schema.names and rows and "ts" not in rows[0]:
+        now = datetime.now(timezone.utc)
+        rows = [{**r, "ts": now} for r in rows]
+    table = pa.Table.from_pylist(rows, schema=schema)
+    tmp = Path(path + ".swap")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    pq.write_table(table, tmp / f"part-driver-{uuid.uuid4().hex}.parquet")
+    if Path(path).exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+    spark.catalog.refreshByPath(path)
+
+
+def _murmur3_hash_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt — what `F.hash(int_col)` computes
+    (seed 42). Driver-side copy used to pre-solve hash-routing salts
+    (see _partition_salts); equality with the JVM implementation is
+    asserted in tests/test_salt_routing.py."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix, len = 4 bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_salts(n: int) -> list[int]:
+    """salts[p] = smallest non-negative int whose Spark hash lands in
+    partition p of n — pmod(hash(salts[p]), n) == p. Routing rows by a
+    per-group salt through an ordinary hash repartition then places each
+    group ALONE in its own partition: the balance guarantee of
+    repartitionByRange without its sampling pass (which re-executes the
+    whole child plan once per build wave). Expected cost n·ln(n) hash
+    probes, driver-side."""
+    salts: list[int | None] = [None] * n
+    found = 0
+    x = 0
+    while found < n:
+        p = _murmur3_hash_int(x) % n  # python % is already non-negative
+        if salts[p] is None:
+            salts[p] = x
+            found += 1
+        x += 1
+    return salts  # type: ignore[return-value]
 
 
 def term_bucket(term: str, num_buckets: int, field: str) -> int:
@@ -565,15 +678,23 @@ def prepare_docs(df: DataFrame, key_cols: list[str] | None, id_col: str | None,
         def doc_len_udf(texts: pd.Series) -> pd.Series:  # noqa: F811
             return pd.Series(analyzer(texts).map(len).astype(np.int32))
 
-    @F.pandas_udf(IntegerType())
-    def norm_udf(lengths: pd.Series) -> pd.Series:
-        return pd.Series(encode_norm(lengths.to_numpy()).astype(np.int32))
+    def norm_expr(dl):
+        # JVM restatement of norms.encode_norm, bit-identical for the
+        # int domain: n <= 0 -> 127, else trunc(127.0/sqrt(double(n)))
+        # (floor == trunc for positives; IEEE double sqrt/divide match
+        # numpy's). Removes one ArrowEvalPython node per field from the
+        # doc-prep stage — with the build session's worker.reuse=false,
+        # that is one python-worker spawn per task per field (guide §4.1:
+        # built-ins over UDFs when an exact expression exists).
+        return (F.when(dl <= 0, F.lit(127))
+                .otherwise(F.floor(F.lit(127.0) / F.sqrt(dl.cast("double")))
+                           .cast("int"))).cast("int")
 
     for col in field_cols:
         fname = _field_name(col)
         base = base.withColumn(doc_len_col(fname), doc_len_udf(F.col(col)))
         base = base.withColumn(norm_col(fname),
-                               norm_udf(F.col(_bq(doc_len_col(fname)))))
+                               norm_expr(F.col(_bq(doc_len_col(fname)))))
     # back-compat aliases for the default field
     base = base.withColumn("doc_len",
                            F.col(_bq(doc_len_col(_field_name(default_col)))))
@@ -644,6 +765,31 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
     """
     from diagon_spark._ship import ensure_shipped
     ensure_shipped(spark)
+    # env-gated phase walls on stderr (DIAGON_BUILD_PHASES=1) — the
+    # builder-side analogue of DIAGON_ENCODE_PROF, for attributing build
+    # wall time to docs-write / encode waves / dict+stats refresh
+    import os as _os
+    import sys as _sys
+    _phase_t = [time.time()]
+
+    def _phase(name: str) -> None:
+        if _os.environ.get("DIAGON_BUILD_PHASES"):
+            now = time.time()
+            print(f"BUILD-PHASE {name} {now - _phase_t[0]:.3f}",
+                  file=_sys.stderr, flush=True)
+            _phase_t[0] = now
+
+    # Scale-adaptive input parallelism (guide §2.5 input skew): a one-
+    # file source otherwise runs the whole doc-prep stage (sha256 +
+    # per-field token-count UDFs + docs write) in ONE task; no-op when
+    # the source already arrives in enough splits. 4 MB/partition: the
+    # doc-prep UDF costs ~0.1 s of CPU per input MB, and under the
+    # build session's worker.reuse=false every extra task pays a fresh
+    # fork + pandas import — small inputs must NOT fan out to
+    # core-count tasks (measured 2 s -> 5.6 s at 5k docs doing so).
+    from diagon_spark.parallel import ensure_min_parallelism
+    df = ensure_min_parallelism(df, bytes_per_partition=4 << 20)
+    _phase("input_ready")
     if key_cols is None and id_col is None:
         key_cols = ["repo", "path", "commit"]
     field_cols = list(fields) if fields else [content_col]
@@ -706,6 +852,7 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
     if not docs_written:
         docs.select(*[F.col(_bq(c)) for c in docs_cols]).write \
             .mode("append" if append else "overwrite").parquet(cat.docs_path)
+    _phase("docs_write")
 
     docs_idx = spark.read.parquet(cat.docs_path)  # re-read: stable doc ids
     new_docs_idx = (docs_idx.filter(F.col("segment_id") >= segment_base)
@@ -730,7 +877,16 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
             # content string under a fixed safe alias (applyInPandas
             # resolves plain names internally, which breaks for dotted
             # flattened-JSON names like `body.text`)
-            src = docs_idx if store_content else docs
+            # id_col path: (segment_id, doc_id) from the in-memory plan
+            # is a cheap cast+pmod, so keep reading the (repartitioned,
+            # parallel) SOURCE — the just-written docs parquet is a few
+            # small files that openCostInBytes packs into 1-3 scan
+            # splits, serializing the encode exchange's map side and the
+            # range-sampling pass. key_cols builds still read the docs
+            # parquet: re-deriving ids there re-runs the sha/window
+            # chain (a shuffle + sort).
+            src = docs if (id_col is not None or not store_content) \
+                else docs_idx
             fstructs = [F.struct(F.lit(fn_).alias("field"),
                                  F.col(c).cast("string").alias("__content"))
                         for fn_, c in zip(field_names, field_cols)]
@@ -756,17 +912,38 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
         # narrow docs scan: dense ids (this engine's own assignment)
         # give even sub-batches; sparse user ids degrade to skewed ones,
         # never to more than n_subs groups.
+        # ONE per-segment aggregation job per wave: the encode-group
+        # bounds (lo/hi/n) AND the lineage facts (fingerprint, postings
+        # count, per-field doc_len sums) come out of the same docs scan;
+        # lineage rows are then assembled driver-side after the encode
+        # (they need wall_ms) — the separate post-encode docs scan the
+        # old lineage aggregation paid is gone.
+        total_len = None
+        per_field_sums = []
+        for i_, fn_ in enumerate(field_names):
+            c = F.col(_bq(doc_len_col(fn_)))
+            total_len = c if total_len is None else total_len + c
+            per_field_sums.append(F.sum(c).alias(f"sum_len__{i_}"))
         seg_rows = (docs_idx.filter(F.col("segment_id").isin(todo))
                     .groupBy("segment_id")
                     .agg(F.min("doc_id").alias("lo"),
                          F.max("doc_id").alias("hi"),
-                         F.count("*").alias("n")).collect())
+                         F.count("*").alias("n"),
+                         F.sum(F.crc32(F.col("content_sha256")))
+                         .alias("input_fingerprint"),
+                         F.sum(total_len).alias("n_postings"),
+                         *per_field_sums).collect())
+        _phase(f"seg_rows_b{bi}")
+        if not seg_rows:
+            continue  # no docs in these segments: nothing to encode
         seg_lo = {int(r.segment_id): int(r.lo) for r in seg_rows}
         seg_span = {}
+        seg_nsubs = {}
         n_groups = 0
         for r in seg_rows:
             # cap: sub<<20 must fit the int32 chunk column (sub <= 2047)
             n_subs = max(1, min(2000, int(r.n) // max(encode_group_docs, 1)))
+            seg_nsubs[int(r.segment_id)] = n_subs
             seg_span[int(r.segment_id)] = max(
                 1, -(-(int(r.hi) - int(r.lo) + 1) // n_subs))
             n_groups += n_subs * len(field_names)
@@ -780,19 +957,53 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
                     / span_map[F.col("segment_id")]).cast("int"))
         # Explicit partition count = one task per encode group: AQE's
         # byte-based coalescing would otherwise merge these CPU-heavy
-        # groups. RANGE partitioning, not hash: with n_partitions ~=
-        # n_keys, hash-partitioning collides ~1/e of the keys (measured:
-        # an 8-segment build ran on 5 effective workers with double-group
-        # straggler tasks); range boundaries give each group its own
-        # task, and RangePartitioning on the group columns satisfies the
-        # applyInPandas clustering so no second shuffle is inserted
-        # (plan-checked).
-        postings = (part.repartitionByRange(max(n_groups, 1),
-                                            F.col("segment_id"),
-                                            F.col("field"), F.col("sub"))
-                    .groupBy("segment_id", "field", "sub").applyInPandas(
-                        _encode_segment_fn(num_buckets, positions, analyzer),
-                        schema=POSTINGS_SCHEMA))
+        # groups, and with n_partitions ~= n_keys plain hash-partitioning
+        # on the GROUP COLUMNS collides ~1/e of the keys (measured: an
+        # 8-segment build ran on 5 effective workers with double-group
+        # straggler tasks). Routing: every (segment, field, sub) group is
+        # known driver-side, so each is tagged with a pre-solved SALT
+        # whose Spark hash lands in its own partition (_partition_salts)
+        # and routed through an ordinary hash repartition — the balance
+        # guarantee of repartitionByRange WITHOUT its range-sampling
+        # job, which re-executed the whole child plan (scan + explode of
+        # every content string) once per build wave. HashPartitioning on
+        # the salt satisfies the applyInPandas clustering (salt is part
+        # of the grouping key set) so no second shuffle is inserted;
+        # the salt is appended LAST so key[0..2] keep their meaning in
+        # the encode fn. Builds with pathologically many groups fall
+        # back to range partitioning (literal-map plan-size guard).
+        enc_fn = _encode_segment_fn(num_buckets, positions, analyzer)
+        group_keys = [(s, fi, b) for s in sorted(seg_nsubs)
+                      for fi in range(len(field_names))
+                      for b in range(seg_nsubs[s])]
+        if 0 < len(group_keys) <= _SALT_ROUTE_MAX_GROUPS:
+            salts = _partition_salts(len(group_keys))
+            nf = len(field_names)
+            if nf > 1:
+                fidx = F.create_map(*[F.lit(x) for i, fn_ in
+                                      enumerate(field_names)
+                                      for x in (fn_, i)])[F.col("field")]
+            else:
+                fidx = F.lit(0)
+            key = ((F.col("segment_id").cast("long") * nf
+                    + fidx.cast("long")) * 2048 + F.col("sub"))
+            entries = []
+            for (s, fi, b), salt in zip(group_keys, salts):
+                entries.append(F.lit((s * nf + fi) * 2048 + b).cast("long"))
+                entries.append(F.lit(int(salt)).cast("int"))
+            salt_map = F.create_map(*entries)
+            routed = part.withColumn(
+                "pk", salt_map[key].cast("int"))
+            postings = (routed.repartition(len(group_keys), F.col("pk"))
+                        .groupBy("segment_id", "field", "sub", "pk")
+                        .applyInPandas(enc_fn, schema=POSTINGS_SCHEMA))
+        else:
+            postings = (part.repartitionByRange(max(n_groups, 1),
+                                                F.col("segment_id"),
+                                                F.col("field"),
+                                                F.col("sub"))
+                        .groupBy("segment_id", "field", "sub").applyInPandas(
+                            enc_fn, schema=POSTINGS_SCHEMA))
         # compact by bucket before writing: without this every segment
         # task writes one file into every bucket dir (segments × buckets
         # small files); the shuffle moves already-encoded compact bytes
@@ -802,39 +1013,38 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
             w = w.option(k_, v_)
         w.partitionBy("bucket").parquet(cat.postings_path)
         wall_ms = int((time.time() - t0) * 1000)
+        _phase(f"postings_b{bi}")
 
-        # lineage rows (fingerprint = sum of crc32 of doc keys per segment).
-        # Per-field doc_len sums ride along so the stats refresh below
-        # needs NO extra docs scan (collected from the cached lineage agg)
-        total_len = None
-        per_field_sums = []
-        for i_, fn_ in enumerate(field_names):
-            c = F.col(_bq(doc_len_col(fn_)))
-            total_len = c if total_len is None else total_len + c
-            per_field_sums.append(F.sum(c).alias(f"sum_len__{i_}"))
-        lineage = (docs_idx.filter(F.col("segment_id").isin(todo))
-                   .groupBy("segment_id")
-                   .agg(F.count("*").alias("n_docs"),
-                        F.sum(F.crc32(F.col("content_sha256"))).alias("input_fingerprint"),
-                        F.sum(total_len).alias("n_postings"),
-                        *per_field_sums)
-                   .withColumn("status", F.lit("done"))
-                   .withColumn("wall_ms", F.lit(wall_ms))
-                   .withColumn("batch", F.lit(bi))
-                   .withColumn("ts", F.current_timestamp()))
-        lineage = lineage.persist()
-        lineage.write.mode("append").parquet(cat.lineage_path)
-        for r in lineage.collect():  # cache hit, no second docs scan
-            stats_acc["n"] += int(r.n_docs)
+        # lineage rows (fingerprint = sum of crc32 of doc keys per
+        # segment): assembled DRIVER-SIDE from the pre-encode seg_rows
+        # collect (same schema as before — segment_id, n_docs,
+        # input_fingerprint, n_postings, sum_len__i, status, wall_ms,
+        # batch, ts) and appended as one tiny parquet part file written
+        # directly with pyarrow — a segments-count metadata row set
+        # needs no Spark job (the old post-encode lineage aggregation
+        # was a full docs scan + write job per wave).
+        _append_tiny_parquet(
+            spark, cat.lineage_path,
+            [{"segment_id": int(r.segment_id), "n_docs": int(r.n),
+              "input_fingerprint": int(r.input_fingerprint or 0),
+              "n_postings": int(r.n_postings or 0),
+              **{f"sum_len__{i_}": int(r[f"sum_len__{i_}"] or 0)
+                 for i_ in range(len(field_names))},
+              "status": "done", "wall_ms": wall_ms, "batch": bi}
+             for r in seg_rows],
+            _lineage_arrow_schema(len(field_names)))
+        for r in seg_rows:
+            stats_acc["n"] += int(r.n)
             for i_, fn_ in enumerate(field_names):
                 stats_acc["sttf"][fn_] += int(r[f"sum_len__{i_}"] or 0)
-        lineage.unpersist()
+        _phase(f"lineage_b{bi}")
 
     covered_all = (not resume and max_batches is None and not done)
     _refresh_term_dict_and_stats(
         spark, cat, field_names, docs_idx=docs_idx,
         new_docs_idx=new_docs_idx, append=append, segment_base=segment_base,
         stats_acc=stats_acc if covered_all else None)
+    _phase("dict_stats_refresh")
 
     if persist_tokens:
         docs.unpersist()
@@ -951,6 +1161,7 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
     new_td = (pdf.groupBy("field", "term", "bucket")
               .agg(F.sum("df").alias("df"), F.sum("ttf").alias("cttf")))
     td_exists = Path(cat.term_dict_path).exists()
+    obs = None
     sdf_delta: dict[str, int] = {}
     if append and td_exists:
         new_td = new_td.persist()
@@ -971,7 +1182,15 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
                             options=_BLOOM_OPTS)
         new_td.unpersist()
     else:
-        _swap_write(new_td, cat.term_dict_path, partition_by="bucket",
+        # per-field sum_doc_freq rides the term_dict WRITE as observed
+        # metrics (Observation) — the separate read-back/aggregate job
+        # the old path ran after the write is gone
+        from pyspark.sql import Observation
+        obs = Observation("sum_doc_freq")
+        observed = new_td.observe(obs, *[
+            F.sum(F.when(F.col("field") == fn_, F.col("df")))
+            .alias(f"sdf_{i}") for i, fn_ in enumerate(field_names)])
+        _swap_write(observed, cat.term_dict_path, partition_by="bucket",
                     options=_BLOOM_OPTS)
 
     # per-field stats: (field, max_doc, doc_count, sum_total_term_freq,
@@ -1004,9 +1223,9 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
         for f, d in sdf_delta.items():
             sum_doc_freq.setdefault(f, d)
     else:
-        sdf_rows = (spark.read.parquet(cat.term_dict_path)
-                    .groupBy("field").agg(F.sum("df").alias("sdf")).collect())
-        sum_doc_freq = {r.field: int(r.sdf) for r in sdf_rows}
+        got = obs.get  # blocks until the write action finished (it has)
+        sum_doc_freq = {fn_: int(got[f"sdf_{i}"] or 0)
+                        for i, fn_ in enumerate(field_names)}
     rows = []
     for fn_ in field_names:
         prev = old_stats.get(fn_, {})
@@ -1024,18 +1243,20 @@ def _refresh_term_dict_and_stats(spark: SparkSession, cat: IndexCatalog,
                          int(prev["doc_count"]) + n_new,
                          int(prev["sum_total_term_freq"]),
                          sum_doc_freq.get(fn_, 0)))
-    # build the (tiny) stats table JVM-side: createDataFrame(list) would
-    # parallelize into defaultParallelism PYTHON partitions — with
-    # spark.python.worker.reuse=false (the recommended build config) a
-    # coalesced write then spawns one python worker per partition,
-    # serially (~9 s of pure overhead measured at local[32])
-    stats_df = None
-    for fn_, md, dc, sttf, sdf_ in rows:
-        one = spark.range(1).select(
-            F.lit(fn_).alias("field"),
-            F.lit(int(md)).cast("long").alias("max_doc"),
-            F.lit(int(dc)).cast("long").alias("doc_count"),
-            F.lit(int(sttf)).cast("long").alias("sum_total_term_freq"),
-            F.lit(int(sdf_)).cast("long").alias("sum_doc_freq"))
-        stats_df = one if stats_df is None else stats_df.unionByName(one)
-    _swap_write(stats_df.coalesce(1), cat.stats_path)
+    # the stats table is a per-field handful of driver-known numbers:
+    # write it directly with pyarrow (atomic dir swap) — no Spark job at
+    # all (the earlier JVM-literal-union form still paid plan analysis
+    # plus a write job; createDataFrame(list) was worse still — one
+    # python worker spawn per partition under worker.reuse=false)
+    import pyarrow as pa
+    stats_schema = pa.schema([
+        pa.field("field", pa.string()),
+        pa.field("max_doc", pa.int64()),
+        pa.field("doc_count", pa.int64()),
+        pa.field("sum_total_term_freq", pa.int64()),
+        pa.field("sum_doc_freq", pa.int64())])
+    _swap_tiny_parquet(
+        spark, cat.stats_path,
+        [{"field": fn_, "max_doc": int(md), "doc_count": int(dc),
+          "sum_total_term_freq": int(sttf), "sum_doc_freq": int(sdf_)}
+         for fn_, md, dc, sttf, sdf_ in rows], stats_schema)

@@ -24,10 +24,17 @@ def build_value_postings(df: DataFrame, id_col: str = "doc_id",
 
     weight = tf * ln(1 + (N - df + 0.5)/(df + 0.5)) in double — the same
     idf form the BM25 engine uses, so the two paths share semantics.
+
+    The narrow input is hash-repartitioned by doc_id when under-parallel
+    (parallel.py): tokenize/explode run at full parallelism and the tf
+    groupBy on (doc_id, term) reuses the exchange.
     """
-    t = with_tokens(df, text_col).select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode("tokens").alias("term"))
+    from diagon_spark.parallel import ensure_min_parallelism
+    t = ensure_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col)), "doc_id")
+    t = with_tokens(t, text_col).select(
+        "doc_id", F.explode("tokens").alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
