@@ -34,9 +34,14 @@ def run_grouped(cmd: list[str], timeout: float
     stdout/stderr; return (returncode, stdout, stderr). On timeout,
     SIGKILL the entire group (JVM grandchildren included), then raise
     GroupTimeout carrying whatever output was written."""
-    with tempfile.TemporaryFile("w+") as out, \
-            tempfile.TemporaryFile("w+") as err:
-        p = subprocess.Popen(cmd, stdout=out, stderr=err, text=True,
+    # errors="replace": a SIGKILLed child truncated mid-multibyte-char,
+    # or JVM stderr with non-UTF-8 bytes, must not turn into a
+    # UnicodeDecodeError masking the real failure (ADVICE r7 #1); the
+    # Popen text flag is dropped — output goes to these file objects,
+    # not PIPE, so it was a no-op.
+    with tempfile.TemporaryFile("w+", errors="replace") as out, \
+            tempfile.TemporaryFile("w+", errors="replace") as err:
+        p = subprocess.Popen(cmd, stdout=out, stderr=err,
                              start_new_session=True)
         try:
             rc = p.wait(timeout=timeout)

@@ -135,21 +135,33 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         from hashlib import md5
         import numpy as np
         import pandas as pd
+        from diagon_spark.analysis.tokenizer import (_IS_ASCII,
+                                                     _ascii_tokens_bytes)
         tok_re = re.compile(tok_pattern)
-        prefixes = [f"{g}:".encode() for g in range(n_digests)]
+        prefixes = tuple(f"{g}:".encode() for g in range(n_digests))
+        is_ascii = _IS_ASCII.match
+        _md5 = md5
         for pdf in batches:
             ids: list[int] = []
             mins: list = []
             for did, text in zip(pdf["doc_id"].tolist(),
                                  pdf["__text"].tolist()):
-                toks = tok_re.findall((text or "").lower())
+                text = text or ""
+                if is_ascii(text):
+                    # byte-translate fast path: token-for-token equal to
+                    # TOKEN_RE over lower(text) for ASCII input
+                    # (analysis/tokenizer.py), ~4x faster than findall
+                    toks = _ascii_tokens_bytes(text)
+                else:
+                    toks = [t.encode() for t in
+                            tok_re.findall(text.lower())]
                 if len(toks) < k:
                     continue
-                sh = {" ".join(toks[i:i + k])
+                sh = {b" ".join(toks[i:i + k])
                       for i in range(len(toks) - k + 1)}
                 buf = b"".join(
-                    b"".join(md5(p + s).digest() for p in prefixes)
-                    for s in (x.encode() for x in sh))
+                    b"".join(_md5(p + s).digest() for p in prefixes)
+                    for s in sh)
                 arr = np.frombuffer(buf, dtype=">u4") \
                     .reshape(-1, n_digests * 4)[:, :num_hashes]
                 ids.append(did)

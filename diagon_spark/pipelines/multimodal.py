@@ -34,9 +34,15 @@ except ImportError:
 
 def to_blob(df: DataFrame, id_col: str = "doc_id",
             payload_col: str = "text") -> DataFrame:
-    """Treat a payload column as an opaque binary blob column."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id"),
-                     F.col(payload_col).cast("binary").alias("blob"))
+    """Treat a payload column as an opaque binary blob column. The
+    input is repartitioned when under-parallel (parallel.py) so the
+    downstream mapInPandas decode/extract kernels don't run in one
+    task over a one-file source; no-op for already-parallel inputs."""
+    from diagon_spark.parallel import ensure_min_parallelism
+    return ensure_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(payload_col).cast("binary").alias("blob")),
+        "doc_id")
 
 
 def blob_metadata(blobs: DataFrame) -> DataFrame:

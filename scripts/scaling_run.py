@@ -7,7 +7,11 @@ Usage:
   python scripts/scaling_run.py run <cpus> <input_dir> <out>   # per level
   python scripts/scaling_run.py report <json8> <json32>        # efficiency
   python scripts/scaling_run.py pairseq <n> <4n> <input_dir> <out_base> \
-      [segments] [n_pairs]    # drift-proof alternating adjacent pairs
+      [segments] [n_pairs] [artifact.json]   # drift-proof alternating
+      # adjacent pairs; artifact.json is atomically rewritten after
+      # EVERY pair ({"complete": false, pairs so far}) and flipped to
+      # complete:true at the end — a killed run leaves a parseable
+      # partial record, never a 0-byte file
 
 `run` prints one JSON line {"cpus":..,"n_docs":..,"build_sec":..,
 "docs_per_sec":..,"query_p50_ms":{...}}. Each level must run in its own
@@ -159,10 +163,9 @@ class _BuildKernelProbe:
         # enough tasks that the wide arm runs >= 2 full waves
         self.n_tasks = max(2 * max(cpus_a, cpus_b), 8)
 
-    def pair_pass(self, first: int) -> dict:
+    def _one_pass(self, order: tuple[int, int]) -> dict:
         import multiprocessing as mp
         walls: dict[int, float] = {}
-        order = (self.a, self.b) if first == self.a else (self.b, self.a)
         for procs in order:
             t0 = time.time()
             with mp.get_context("fork").Pool(procs) as pool:
@@ -173,6 +176,25 @@ class _BuildKernelProbe:
                 "w_4n": round(walls[self.b], 2),
                 "ratio": round((walls[self.a] * self.a)
                                / (walls[self.b] * self.b), 3)}
+
+    def pair_pass(self, first: int) -> dict:
+        """TWO alternating arm-pair passes, median (= midpoint at n=2)
+        of their ratios — one ~60 s back-to-back pass let a drift burst
+        between its two arms record a physically impossible 1.168
+        "ceiling" that then penalized eff_vs_ceiling for exactly the
+        pair it was defending (VERDICT r7 ask #2). Alternating the arm
+        order between passes biases residual monotone drift in opposite
+        directions; raw passes stay in the artifact."""
+        o1 = (self.a, self.b) if first == self.a else (self.b, self.a)
+        p1 = self._one_pass(o1)
+        p2 = self._one_pass(tuple(reversed(o1)))
+        med = round((p1["ratio"] + p2["ratio"]) / 2.0, 3)
+        # clamp at 1.0 (the physically possible bound — a concurrency
+        # CEILING above perfect scaling is residual drift, not
+        # hardware); the raw passes stay in the artifact
+        return {"w_n": p1["w_n"], "w_4n": p1["w_4n"],
+                "ratio": min(1.0, med), "ratio_raw": med,
+                "passes": [p1, p2]}
 
     def close(self) -> None:
         _BUILD_KERNEL.clear()
@@ -193,8 +215,23 @@ def _count_docs(input_dir: str) -> int:
     return max(n, 1)
 
 
+def _write_artifact_atomic(path: str | None, payload: dict) -> None:
+    """Atomically (tmp + os.replace) rewrite the pairseq artifact with
+    pairs-so-far — a multi-hour run crossing a round boundary must leave
+    a PARSEABLE partial record, not a 0-byte file that reads as a
+    recorded result (VERDICT r7 ask #1; the r7 10M run's only record
+    died with /tmp)."""
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
-            num_segments: int = 64, n_pairs: int = 2) -> None:
+            num_segments: int = 64, n_pairs: int = 2,
+            artifact: str | None = None) -> None:
     """Drift-proof N→4N pair: run build levels in ALTERNATING order
     (a,b then b,a then a,b ...), each level in its own subprocess/JVM,
     and report every adjacent-pair efficiency plus the median — the
@@ -209,7 +246,9 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
     median efficiency >= 0.8 absolute, OR every pair within 5% of its
     own bare-kernel ceiling (VERDICT r6 ask #3)."""
     results: list[dict] = []  # chronological {cpus, docs_per_sec}
-    probe = _BuildKernelProbe(cpus_a, cpus_b)
+    probe: _BuildKernelProbe | None = None  # lazy (ADVICE r7 #3): the
+    # probe's generated corpus stays out of the parent until the first
+    # pair needs it, and close() is guaranteed by the finally below
 
     def _one(cpus: int, tag: str) -> dict:
         from diagon_spark._procutil import GroupTimeout, run_grouped
@@ -242,45 +281,56 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
         return json.loads(line)
 
     pairs: list[dict] = []
-    for i in range(n_pairs):
-        order = (cpus_a, cpus_b) if i % 2 == 0 else (cpus_b, cpus_a)
-        got: dict[int, dict] = {}
-        for c in order:
-            r = _one(c, f"p{i}c{c}")
-            got[c] = r
-            results.append({"cpus": r["cpus"],
-                            "docs_per_sec": r["docs_per_sec"]})
-            # incremental per-level progress on stderr: a multi-hour
-            # pairseq previously held ALL results in parent memory until
-            # the final print — a kill or crash lost the whole session.
-            # One flushed line per completed level makes a partial run
-            # recoverable from the log (round-6 lesson: a 4.5 h 10M run
-            # with zero visibility).
-            print("PAIRSEQ-LEVEL " + json.dumps(
-                {"ts": round(time.time(), 1), "pair": i, "cpus": c,
-                 "build_sec": r["build_sec"],
-                 "docs_per_sec": r["docs_per_sec"]}),
+    try:
+        for i in range(n_pairs):
+            order = (cpus_a, cpus_b) if i % 2 == 0 else (cpus_b, cpus_a)
+            got: dict[int, dict] = {}
+            for c in order:
+                r = _one(c, f"p{i}c{c}")
+                got[c] = r
+                results.append({"cpus": r["cpus"],
+                                "docs_per_sec": r["docs_per_sec"]})
+                # incremental per-level progress on stderr: a multi-hour
+                # pairseq previously held ALL results in parent memory
+                # until the final print — a kill or crash lost the whole
+                # session. One flushed line per completed level makes a
+                # partial run recoverable from the log (round-6 lesson:
+                # a 4.5 h 10M run with zero visibility).
+                print("PAIRSEQ-LEVEL " + json.dumps(
+                    {"ts": round(time.time(), 1), "pair": i, "cpus": c,
+                     "build_sec": r["build_sec"],
+                     "docs_per_sec": r["docs_per_sec"]}),
+                    file=sys.stderr, flush=True)
+            # the pair's own hardware denominator, measured in the same
+            # window; arm order matches the pair's level order
+            if probe is None:
+                probe = _BuildKernelProbe(cpus_a, cpus_b)
+            ceil_pass = probe.pair_pass(first=order[0])
+            eff = round(got[cpus_b]["docs_per_sec"]
+                        / ((cpus_b / cpus_a)
+                           * got[cpus_a]["docs_per_sec"]), 3)
+            pairs.append({
+                "order": "-".join(str(c) for c in order),
+                "eff": eff,
+                "ceiling": ceil_pass["ratio"],
+                "ceiling_passes": ceil_pass.get("passes"),
+                "eff_vs_ceiling": round(eff / ceil_pass["ratio"], 3),
+                "kernel_walls": {"w_n": ceil_pass["w_n"],
+                                 "w_4n": ceil_pass["w_4n"]},
+                "docs_per_sec_n": got[cpus_a]["docs_per_sec"],
+                "docs_per_sec_4n": got[cpus_b]["docs_per_sec"],
+            })
+            print("PAIRSEQ-PAIR " + json.dumps(
+                {"ts": round(time.time(), 1), "pair": i, **pairs[-1]}),
                 file=sys.stderr, flush=True)
-        # the pair's own hardware denominator, measured in the same
-        # window; arm order matches the pair's level order
-        ceil_pass = probe.pair_pass(first=order[0])
-        eff = round(got[cpus_b]["docs_per_sec"]
-                    / ((cpus_b / cpus_a) * got[cpus_a]["docs_per_sec"]),
-                    3)
-        pairs.append({
-            "order": "-".join(str(c) for c in order),
-            "eff": eff,
-            "ceiling": ceil_pass["ratio"],
-            "eff_vs_ceiling": round(eff / ceil_pass["ratio"], 3),
-            "kernel_walls": {"w_n": ceil_pass["w_n"],
-                             "w_4n": ceil_pass["w_4n"]},
-            "docs_per_sec_n": got[cpus_a]["docs_per_sec"],
-            "docs_per_sec_4n": got[cpus_b]["docs_per_sec"],
-        })
-        print("PAIRSEQ-PAIR " + json.dumps(
-            {"ts": round(time.time(), 1), "pair": i, **pairs[-1]}),
-            file=sys.stderr, flush=True)
-    probe.close()
+            _write_artifact_atomic(artifact, {
+                "complete": False, "n": cpus_a, "4n": cpus_b,
+                "pairs_done": len(pairs), "pairs_planned": n_pairs,
+                "pairs": pairs, "levels": results,
+                "ts": round(time.time(), 1)})
+    finally:
+        if probe is not None:
+            probe.close()
     pair_effs = [p["eff"] for p in pairs]
     eff_vs_own = [p["eff_vs_ceiling"] for p in pairs]
     med = None
@@ -291,7 +341,7 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
         # the upper-median would silently report max() at n_pairs=2
         med = round(s[n // 2] if n % 2 else
                     (s[n // 2 - 1] + s[n // 2]) / 2, 3)
-    print(json.dumps({
+    final = {
         "gate_met": bool(med is not None
                          and (med >= 0.8
                               or (eff_vs_own
@@ -304,7 +354,9 @@ def pairseq(cpus_a: int, cpus_b: int, input_dir: str, out_base: str,
         "meets_0.8": bool(med is not None and med >= 0.8),
         "levels": results,
         "pairs": pairs,
-    }))
+    }
+    _write_artifact_atomic(artifact, {"complete": True, **final})
+    print(json.dumps(final))
 
 
 def report(path8: str, path32: str) -> None:
@@ -332,7 +384,8 @@ if __name__ == "__main__":
         pairseq(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
                 sys.argv[5],
                 int(sys.argv[6]) if len(sys.argv) > 6 else 64,
-                int(sys.argv[7]) if len(sys.argv) > 7 else 2)
+                int(sys.argv[7]) if len(sys.argv) > 7 else 2,
+                sys.argv[8] if len(sys.argv) > 8 else None)
     elif cmd == "report":
         report(sys.argv[2], sys.argv[3])
     else:
