@@ -985,15 +985,26 @@ def _build_index_impl(spark: SparkSession, df: DataFrame, out_dir: str, *,
                                       for x in (fn_, i)])[F.col("field")]
             else:
                 fidx = F.lit(0)
-            key = ((F.col("segment_id").cast("long") * nf
-                    + fidx.cast("long")) * 2048 + F.col("sub"))
-            entries = []
-            for (s, fi, b), salt in zip(group_keys, salts):
-                entries.append(F.lit((s * nf + fi) * 2048 + b).cast("long"))
-                entries.append(F.lit(int(salt)).cast("int"))
-            salt_map = F.create_map(*entries)
+            # dense group ordinal gi = seg_offset + fidx*n_subs + sub,
+            # then element_at into the salt array — O(1) per row plus
+            # two segment-count map probes, instead of a per-row linear
+            # scan of a groups-count literal map (up to 4096 entries)
+            off = {}
+            acc = 0
+            for s in sorted(seg_nsubs):
+                off[s] = acc
+                acc += nf * seg_nsubs[s]
+            off_map = F.create_map(*[F.lit(x) for kv in off.items()
+                                     for x in kv])
+            nsubs_map = F.create_map(*[F.lit(x) for kv in
+                                       seg_nsubs.items() for x in kv])
+            gi = (off_map[F.col("segment_id")]
+                  + fidx * nsubs_map[F.col("segment_id")]
+                  + F.col("sub"))
+            salt_arr = F.array(*[F.lit(int(s)).cast("int")
+                                 for s in salts])
             routed = part.withColumn(
-                "pk", salt_map[key].cast("int"))
+                "pk", F.element_at(salt_arr, gi.cast("int") + 1))
             postings = (routed.repartition(len(group_keys), F.col("pk"))
                         .groupBy("segment_id", "field", "sub", "pk")
                         .applyInPandas(enc_fn, schema=POSTINGS_SCHEMA))

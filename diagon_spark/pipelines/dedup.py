@@ -55,7 +55,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   F.col(text_col)), "doc_id")
     t = with_tokens(t, text_col).select("doc_id", "tokens")
     n = F.size("tokens")
-    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    # docs with < k tokens have NO shingles (empty start index array).
+    # The old greatest(n-k, -1) form made sequence(0, -1) STEP DOWN to
+    # the two-element [0, -1], whose i = -1 branch hit the illegal
+    # slice(tokens, 0, k) — any short/empty doc crashed the whole query
+    # (latent: the fixture corpora have no such docs).
+    idxs = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
     sh = t.select(
         "doc_id",
         F.explode(F.transform(idxs, lambda i:
@@ -120,11 +126,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     over its set), h_i read as big-endian u32 windows of the digest
     bytes — exactly int(hex_window, 16). Docs with < k tokens emit no
     signature row, as in the explode form (they have no shingles). The
-    per-doc aggregation happens inside the kernel, so the groupBy
-    shuffle disappears entirely.
+    per-doc aggregation happens inside the kernel, so the trailing
+    groupBy reduces doc-count-sized rows (one per doc per batch) and
+    reuses the doc_id exchange — it exists to merge rows of a DOC_ID
+    REPEATED across input rows/batches (min over the union of their
+    shingles, the old groupBy semantics and the oracle's).
     """
-    from diagon_spark.parallel import ensure_min_parallelism
+    from diagon_spark._ship import ensure_shipped
     from diagon_spark.pipelines.textstats import TOKEN_RE
+    ensure_shipped(df.sparkSession)  # kernel imports diagon_spark on
+    # executors — self-ship like every public entry point
     n_digests = (num_hashes + 3) // 4
     schema = ("doc_id long, "
               + ", ".join(f"mh_{i} long" for i in range(num_hashes)))
@@ -175,7 +186,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     src = ensure_min_parallelism(
         df.select(F.col(id_col).cast("long").alias("doc_id"),
                   F.col(text_col).alias("__text")), "doc_id")
-    return src.mapInPandas(kernel, schema=schema)
+    # merge repeated doc_ids (split across rows or Arrow batches): MIN
+    # per hash over the union of their shingles — identical to the old
+    # groupBy-over-shingles semantics and the SQL oracle's GROUP BY
+    return (src.mapInPandas(kernel, schema=schema)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"mh_{i}").alias(f"mh_{i}")
+                   for i in range(num_hashes)]))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",

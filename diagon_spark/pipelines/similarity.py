@@ -52,14 +52,34 @@ def _cosine_kernel_udf(query_vec: list[float]):
     def cos(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series(np.zeros(0, np.float64))
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(mat), np.float64)
-        nrm = np.zeros(len(mat), np.float64)
-        for d in range(dim):  # left fold, identical rounding order
-            col = mat[:, d]
-            dot += col * q64[d]
-            nrm += col * col
-        return pd.Series(dot / (np.sqrt(nrm) * qnorm))
+        raw = vecs.to_numpy()
+        # null/ragged rows get a NULL cosine, exactly like the JVM fold
+        # (zip_with against a different-length literal pads with nulls →
+        # null product → null aggregate). NULL, not NaN: Spark orders
+        # NaN above every double and NULL below, so a genuine 0/0 NaN
+        # (zero-norm vector) must stay NaN while null/ragged stays null
+        # — hence the object-dtype result (None → null, nan → NaN).
+        valid = np.array([v is not None and len(v) == dim for v in raw])
+        if valid.all():
+            mat = np.stack(raw).astype(np.float64)
+            dot = np.zeros(len(mat), np.float64)
+            nrm = np.zeros(len(mat), np.float64)
+            for d in range(dim):  # left fold, identical rounding order
+                col = mat[:, d]
+                dot += col * q64[d]
+                nrm += col * col
+            return pd.Series(dot / (np.sqrt(nrm) * qnorm))
+        out = np.full(len(raw), None, dtype=object)
+        if valid.any():
+            mat = np.stack(raw[valid]).astype(np.float64)
+            dot = np.zeros(len(mat), np.float64)
+            nrm = np.zeros(len(mat), np.float64)
+            for d in range(dim):
+                col = mat[:, d]
+                dot += col * q64[d]
+                nrm += col * col
+            out[valid] = dot / (np.sqrt(nrm) * qnorm)
+        return pd.Series(out, dtype=object)
 
     return cos
 
