@@ -127,10 +127,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     bytes — exactly int(hex_window, 16). Docs with < k tokens emit no
     signature row, as in the explode form (they have no shingles). The
     per-doc aggregation happens inside the kernel, so the trailing
-    groupBy reduces doc-count-sized rows (one per doc per batch) and
-    reuses the doc_id exchange — it exists to merge rows of a DOC_ID
-    REPEATED across input rows/batches (min over the union of their
-    shingles, the old groupBy semantics and the oracle's).
+    groupBy reduces doc-count-sized rows (one per doc per batch) — it
+    exists to merge rows of a DOC_ID REPEATED across input rows/batches
+    (min over the union of their shingles, the old groupBy semantics
+    and the oracle's). mapInPandas emits fresh attribute ids, so the
+    planner cannot prove the kernel preserved HashPartitioning(doc_id)
+    and the groupBy plans its own exchange — but a partial aggregate
+    runs below it, so that exchange moves ~one 17-long row per
+    (doc_id, partition), the same tiny width the old expression plan
+    shuffled; the heavy text/shingle stream still crosses no shuffle.
     """
     from diagon_spark._ship import ensure_shipped
     from diagon_spark.pipelines.textstats import TOKEN_RE
